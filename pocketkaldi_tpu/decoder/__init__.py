@@ -1,0 +1,2 @@
+from .beam import Beam, GraphArrays  # noqa: F401
+from .decoder import Hypothesis, ViterbiDecoder  # noqa: F401

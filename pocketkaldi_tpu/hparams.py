@@ -1,0 +1,84 @@
+"""Hyperparameter dataclasses.
+
+The reference hard-codes every decoder/frontend hyperparameter as a
+compile-time constant (``fbank.h:7-13``, ``cmvn.h:10-11``, ``decoder.h:45-50``,
+``decoder.cc:31``, and the acoustic scale literal at ``pocketkaldi.cc:215``).
+Here they are promoted to real configuration with the reference values as
+defaults, as SURVEY.md §5.6 prescribes.  All dataclasses are frozen/hashable so
+they can be closed over by jitted functions as static configuration.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class FbankOptions:
+    """Log-mel filterbank options (reference constants at fbank.h:7-13)."""
+    sample_rate: int = 16000          # PK_SAMPLERATE
+    frame_shift_ms: float = 10.0      # PK_FRAMESHIFT_MS
+    frame_length_ms: float = 25.0     # PK_FRAMELENGTH_MS
+    num_bins: int = 40                # PK_FBANK_DIM
+    low_freq: float = 20.0            # PK_FBANK_LOWFREQ
+    high_freq: float = 8000.0         # PK_FBANK_HIGHFREQ (sample_rate / 2)
+    preemph_coeff: float = 0.97       # PK_PREEMPH_COEFF
+
+    @property
+    def frame_shift(self) -> int:
+        return int(self.sample_rate * 0.001 * self.frame_shift_ms)
+
+    @property
+    def frame_length(self) -> int:
+        return int(self.sample_rate * 0.001 * self.frame_length_ms)
+
+    @property
+    def frame_length_padded(self) -> int:
+        """Next power of two ≥ frame_length (fbank.cc:24-33)."""
+        n = 1
+        while n < self.frame_length:
+            n <<= 1
+        return n
+
+    def num_frames(self, num_samples: int) -> int:
+        """Snip-edges frame count (fbank.cc:35-42)."""
+        if num_samples < self.frame_length:
+            return 0
+        return 1 + (num_samples - self.frame_length) // self.frame_shift
+
+
+@dataclasses.dataclass(frozen=True)
+class CmvnOptions:
+    """Online CMVN options (reference constants at cmvn.h:10-11)."""
+    window: int = 600                 # PK_ONLINECMVN_WINDOW
+    global_frames: int = 200          # PK_ONLINECMVN_GLOBALFRAMES
+    # exact=True replays the reference's per-frame float32 round-trip
+    # accumulation (cmvn.cc:35-71) with a lax.scan; exact=False computes the
+    # same windowed sums with a parallel reduce_window (faster, equal to ~1e-6).
+    exact: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class DecoderOptions:
+    """Beam-search options.
+
+    ``beam``/``max_active`` defaults follow the reference (beam 16.0
+    decoder.cc:31; the reference's max-active is 30000, decoder.h:45 — here the
+    default beam capacity is 4096, which holds the exact top-K rather than the
+    reference's sampled-cutoff estimate, and is configurable up to any size).
+    """
+    beam: float = 16.0
+    max_active: int = 4096            # K: beam capacity (exact top-K)
+    expand_factor: int = 8            # E = expand_factor * max_active arc budget
+    acoustic_scale: float = 0.1       # pocketkaldi.cc:215
+    max_eps_iters: Optional[int] = None  # None → use Fst.eps_depth bound
+    chunk_frames: int = 128           # frames per device scan chunk
+    # The reference's BestPath adds the final weight into the hypothesis
+    # weight twice (decoder.cc:314 adds it into best_cost, decoder.cc:336 adds
+    # it again).  True reproduces that reported number for CLI parity.
+    compat_double_final: bool = True
+
+    @property
+    def expand_budget(self) -> int:
+        return self.expand_factor * self.max_active
