@@ -84,16 +84,24 @@ class GraphArrays:
         eps_ptr, eps_idx = fst.eps_row_ptr_and_arcs
         emit_ilabel = fst.ilabel[emit_idx]
         tid2pdf = np.asarray(tid2pdf, dtype=np.int32)
+
+        def pad1(arr, fill):
+            # Zero-length arc classes still need gatherable arrays; row_ptrs
+            # never reference the dummy entry (all counts are 0).
+            if arr.shape[0] == 0:
+                return np.full(1, fill, dtype=arr.dtype)
+            return arr
+
         return cls(
             emit_ptr=jnp.asarray(emit_ptr),
-            emit_next=jnp.asarray(fst.next_state[emit_idx]),
-            emit_pdf=jnp.asarray(tid2pdf[emit_ilabel]),
-            emit_olabel=jnp.asarray(fst.olabel[emit_idx]),
-            emit_weight=jnp.asarray(fst.weight[emit_idx]),
+            emit_next=jnp.asarray(pad1(fst.next_state[emit_idx], 0)),
+            emit_pdf=jnp.asarray(pad1(tid2pdf[emit_ilabel], 0)),
+            emit_olabel=jnp.asarray(pad1(fst.olabel[emit_idx], 0)),
+            emit_weight=jnp.asarray(pad1(fst.weight[emit_idx], np.inf)),
             eps_ptr=jnp.asarray(eps_ptr),
-            eps_next=jnp.asarray(fst.next_state[eps_idx]),
-            eps_olabel=jnp.asarray(fst.olabel[eps_idx]),
-            eps_weight=jnp.asarray(fst.weight[eps_idx]),
+            eps_next=jnp.asarray(pad1(fst.next_state[eps_idx], 0)),
+            eps_olabel=jnp.asarray(pad1(fst.olabel[eps_idx], 0)),
+            eps_weight=jnp.asarray(pad1(fst.weight[eps_idx], np.inf)),
             final=jnp.asarray(fst.final),
             start_state=int(fst.start_state),
             eps_depth=int(fst.eps_depth),
@@ -291,7 +299,7 @@ def decode_chunk(beam: Beam, scores: jnp.ndarray, frame_valid: jnp.ndarray,
     return new_beam, recs
 
 
-@partial(jax.jit, static_argnames=("g", "opts", "num_eps_iters"))
+@partial(jax.jit, static_argnames=("batch", "g", "opts", "num_eps_iters"))
 def init_beam_batch(batch: int, g: GraphArrays, opts: DecoderOptions,
                     num_eps_iters: int) -> Tuple[Beam, StepRecord]:
     def one(_):

@@ -39,8 +39,9 @@ def splice_frames(feats: jnp.ndarray, left: int, right: int) -> jnp.ndarray:
     return gathered.reshape(*feats.shape[:-2], t, -1)
 
 
-@partial(jax.jit, static_argnames=("left", "right", "acoustic_scale"))
-def am_scores(feats: jnp.ndarray, params: List[layers.LayerParams],
+@partial(jax.jit,
+         static_argnames=("kinds", "left", "right", "acoustic_scale"))
+def am_scores(feats: jnp.ndarray, kinds, params: List[layers.LayerParams],
               log_prior: jnp.ndarray, left: int, right: int,
               acoustic_scale: float = 1.0) -> jnp.ndarray:
     """Spliced DNN scores: (..., T, D) → (..., T, num_pdfs).
@@ -48,7 +49,7 @@ def am_scores(feats: jnp.ndarray, params: List[layers.LayerParams],
     = acoustic_scale · (log(max(nnet(splice(x)), 1e-20)) − log_prior)
     """
     x = splice_frames(feats, left, right)
-    y = apply_nnet(x, params)
+    y = apply_nnet(x, kinds, params)
     y = jnp.log(jnp.maximum(y, LOG_FLOOR)) - log_prior
     return acoustic_scale * y
 
@@ -87,6 +88,6 @@ class AcousticModel:
 
     def compute(self, feats: jnp.ndarray,
                 acoustic_scale: float = 1.0) -> jnp.ndarray:
-        return am_scores(feats, self.nnet.params, self.log_prior,
-                         self.left_context, self.right_context,
-                         acoustic_scale)
+        return am_scores(feats, self.nnet.kinds, self.nnet.params,
+                         self.log_prior, self.left_context,
+                         self.right_context, acoustic_scale)

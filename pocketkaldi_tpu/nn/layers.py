@@ -80,11 +80,16 @@ _KERNELS = {
 }
 
 
-def params_from_spec(spec: NnetSpec) -> List[LayerParams]:
-    """Convert a parsed ``NnetSpec`` into a pytree of device-ready params."""
+def params_from_spec(spec: NnetSpec):
+    """Convert a parsed ``NnetSpec`` into (kinds, params).
+
+    ``kinds`` is a static tuple of layer-type ids (part of the jit trace
+    structure); ``params`` is the traced pytree of arrays.
+    """
+    kinds = []
     out: List[LayerParams] = []
     for layer in spec.layers:
-        p: LayerParams = {"kind": layer.kind}
+        p: LayerParams = {}
         if layer.kind == LAYER_LINEAR:
             p["w"] = jnp.asarray(np.ascontiguousarray(layer.weight.T,
                                                       dtype=np.float32))
@@ -93,12 +98,13 @@ def params_from_spec(spec: NnetSpec) -> List[LayerParams]:
             p["v"] = jnp.asarray(layer.vec.astype(np.float32))
         elif layer.kind == LAYER_ADD:
             p["v"] = jnp.asarray(layer.vec.astype(np.float32))
-            p["scale"] = float(layer.scale)
+            p["scale"] = jnp.float32(layer.scale)
         elif layer.kind not in _KERNELS:
             raise CorruptionError(f"unexpected layer type: {layer.kind}")
+        kinds.append(layer.kind)
         out.append(p)
-    return out
+    return tuple(kinds), out
 
 
-def apply_layer(x: jnp.ndarray, params: LayerParams) -> jnp.ndarray:
-    return _KERNELS[params["kind"]](x, params)
+def apply_layer(x: jnp.ndarray, kind: int, params: LayerParams) -> jnp.ndarray:
+    return _KERNELS[kind](x, params)
