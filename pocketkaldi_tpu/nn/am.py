@@ -30,25 +30,43 @@ from .nnet import Nnet, apply_nnet
 LOG_FLOOR = 1.0e-20  # am.cc:109
 
 
-def splice_frames(feats: jnp.ndarray, left: int, right: int) -> jnp.ndarray:
-    """(..., T, D) → (..., T, (left+1+right)·D) with edge replication (am.cc:65-88)."""
+def splice_frames(feats: jnp.ndarray, left: int, right: int,
+                  num_frames=None) -> jnp.ndarray:
+    """(..., T, D) → (..., T, (left+1+right)·D) with edge replication (am.cc:65-88).
+
+    ``num_frames`` (optional, shape = leading batch dims) gives each
+    utterance's true frame count; context indices clamp at ``num_frames - 1``
+    rather than the padded T, so right-padding in a bucketed batch never
+    leaks into the last valid frames' right context.
+    """
     t = feats.shape[-2]
+    ctx = left + 1 + right
     offsets = jnp.arange(-left, right + 1)
-    idx = jnp.clip(jnp.arange(t)[:, None] + offsets[None, :], 0, t - 1)
-    gathered = feats[..., idx, :]           # (..., T, ctx, D)
-    return gathered.reshape(*feats.shape[:-2], t, -1)
+    idx = jnp.arange(t)[:, None] + offsets[None, :]       # (T, ctx)
+    if num_frames is None:
+        idx = jnp.clip(idx, 0, t - 1)
+        gathered = feats[..., idx, :]                     # (..., T, ctx, D)
+        return gathered.reshape(*feats.shape[:-2], t, ctx * feats.shape[-1])
+    last = jnp.maximum(jnp.asarray(num_frames) - 1, 0)
+    idx = jnp.clip(idx, 0, last[..., None, None])         # (..., T, ctx)
+    flat = idx.reshape(*idx.shape[:-2], t * ctx)          # (..., T·ctx)
+    gathered = jnp.take_along_axis(feats, flat[..., None], axis=-2)
+    return gathered.reshape(*feats.shape[:-2], t, ctx * feats.shape[-1])
 
 
 @partial(jax.jit,
          static_argnames=("kinds", "left", "right", "acoustic_scale"))
 def am_scores(feats: jnp.ndarray, kinds, params: List[layers.LayerParams],
               log_prior: jnp.ndarray, left: int, right: int,
-              acoustic_scale: float = 1.0) -> jnp.ndarray:
+              acoustic_scale: float = 1.0, num_frames=None) -> jnp.ndarray:
     """Spliced DNN scores: (..., T, D) → (..., T, num_pdfs).
 
     = acoustic_scale · (log(max(nnet(splice(x)), 1e-20)) − log_prior)
+
+    ``num_frames`` (optional, leading-batch-shaped) bounds splice context at
+    each utterance's true length in padded batches.
     """
-    x = splice_frames(feats, left, right)
+    x = splice_frames(feats, left, right, num_frames)
     y = apply_nnet(x, kinds, params)
     y = jnp.log(jnp.maximum(y, LOG_FLOOR)) - log_prior
     return acoustic_scale * y
@@ -86,8 +104,8 @@ class AcousticModel:
         """am.h:30-32 — index the tid→pdf vector."""
         return int(self.tid2pdf[tid])
 
-    def compute(self, feats: jnp.ndarray,
-                acoustic_scale: float = 1.0) -> jnp.ndarray:
+    def compute(self, feats: jnp.ndarray, acoustic_scale: float = 1.0,
+                num_frames=None) -> jnp.ndarray:
         return am_scores(feats, self.nnet.kinds, self.nnet.params,
                          self.log_prior, self.left_context,
-                         self.right_context, acoustic_scale)
+                         self.right_context, acoustic_scale, num_frames)
