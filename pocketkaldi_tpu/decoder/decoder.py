@@ -75,6 +75,7 @@ class ViterbiDecoder:
 
         chunk = self.opts.chunk_frames
         frame_idx = np.arange(t)
+        pending = None
         for lo in range(0, t, chunk):
             hi = min(lo + chunk, t)
             sl = scores[:, lo:hi]
@@ -82,7 +83,16 @@ class ViterbiDecoder:
                 frame_idx[lo:hi][None, :] < num_frames[:, None])
             beam, recs = decode_chunk(beam, sl, valid, self.graph,
                                       self.opts, self.num_eps_iters)
-            host_recs.append((np.asarray(recs.prev), np.asarray(recs.word)))
+            # One-chunk lookahead: fetch chunk t-1's records while chunk t
+            # computes, keeping device memory O(chunk) and overlapping the
+            # device→host copy with compute.
+            if pending is not None:
+                host_recs.append((np.asarray(pending.prev),
+                                  np.asarray(pending.word)))
+            pending = recs
+        if pending is not None:
+            host_recs.append((np.asarray(pending.prev),
+                              np.asarray(pending.word)))
 
         slot, total, fin = best_final(beam, self.graph)
         slot = np.asarray(slot)
@@ -96,23 +106,38 @@ class ViterbiDecoder:
             if t else np.zeros((b, 0, 1, 1), np.int32)
         init_prev, init_word = host_recs[0]
 
+        all_words = self._traceback_batch(slot, prev, word, init_prev,
+                                          init_word, num_frames)
         out = []
         for i in range(b):
             if slot[i] < 0:
                 out.append(Hypothesis([], 0.0, float("inf"),
                                       int(num_frames[i])))
                 continue
-            words = _traceback(int(slot[i]), prev[i], word[i],
-                               init_prev[i], init_word[i],
-                               int(num_frames[i]))
             weight = float(total[i])
             if self.opts.compat_double_final:
                 # BestPath adds the final weight twice (decoder.cc:314,336);
                 # reproduce for CLI-output parity.
                 weight += float(fin[i])
-            out.append(Hypothesis(words, weight, float(total[i]),
+            out.append(Hypothesis(all_words[i], weight, float(total[i]),
                                   int(num_frames[i])))
         return out
+
+    def _traceback_batch(self, slot, prev, word, init_prev, init_word,
+                         num_frames) -> List[List[int]]:
+        """Native batched traceback when available; Python fallback."""
+        from ..io import native
+        if prev.shape[1] and native.available():
+            try:
+                return native.traceback_batch(prev, word, init_prev,
+                                              init_word, slot, num_frames)
+            except RuntimeError:
+                pass
+        return [
+            _traceback(int(slot[i]), prev[i], word[i], init_prev[i],
+                       init_word[i], int(num_frames[i]))
+            if slot[i] >= 0 else []
+            for i in range(slot.shape[0])]
 
 
 def _traceback(slot: int, prev: np.ndarray, word: np.ndarray,

@@ -25,7 +25,14 @@ SAMPLE_RATE = 16000
 
 
 def read_16k_pcm(filename: str) -> np.ndarray:
-    """Read ``filename`` and return float32 samples in int-range scale."""
+    """Read ``filename`` and return float32 samples in int-range scale.
+
+    Uses the native C++ parser (native/pktpu_io.cc) when the library is
+    built; falls back to the pure-Python parser below.
+    """
+    from . import native
+    if native.available():
+        return native.read_wav_16k_mono(filename)
     try:
         with open(filename, "rb") as fd:
             data = fd.read()

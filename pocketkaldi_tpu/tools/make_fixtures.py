@@ -78,6 +78,59 @@ def make_decoding_graph(rng: np.random.RandomState, num_states: int,
     return Fst.from_arcs(num_states, 0, arcs, finals)
 
 
+def make_bench_graph(rng: np.random.RandomState, num_states: int,
+                     num_tids: int, num_words: int,
+                     emit_arcs_per_state: int = 4) -> Fst:
+    """Vectorized large HCLG-shaped graph for benchmarking.
+
+    Structure: per state, ``emit_arcs_per_state`` random emitting arcs plus a
+    self-loop (HCLG phone self-loops); every 4th state gets one epsilon arc to
+    its successor, 70% of which emit a word — by construction epsilon chains
+    have depth 1, like a well-optimized HCLG's short eps runs.
+    """
+    s = num_states
+    k = emit_arcs_per_state
+    src_emit = np.repeat(np.arange(s, dtype=np.int64), k)
+    dst_emit = rng.randint(0, s, size=s * k)
+    il_emit = rng.randint(1, num_tids + 1, size=s * k)
+    ol_emit = np.zeros(s * k, dtype=np.int64)
+    w_emit = rng.rand(s * k) * 2.0
+
+    src_loop = np.arange(s, dtype=np.int64)
+    dst_loop = src_loop.copy()
+    il_loop = rng.randint(1, num_tids + 1, size=s)
+    ol_loop = np.zeros(s, dtype=np.int64)
+    w_loop = rng.rand(s) * 2.0
+
+    eps_src = np.arange(0, s - 1, 4, dtype=np.int64)
+    eps_dst = eps_src + 1
+    eps_il = np.zeros(eps_src.size, dtype=np.int64)
+    eps_ol = np.where(rng.rand(eps_src.size) < 0.7,
+                      rng.randint(1, num_words, size=eps_src.size), 0)
+    eps_w = rng.rand(eps_src.size)
+
+    src = np.concatenate([src_emit, src_loop, eps_src])
+    dst = np.concatenate([dst_emit, dst_loop, eps_dst])
+    il = np.concatenate([il_emit, il_loop, eps_il])
+    ol = np.concatenate([ol_emit, ol_loop, eps_ol])
+    w = np.concatenate([w_emit, w_loop, eps_w])
+
+    order = np.argsort(src, kind="stable")
+    src, dst, il, ol, w = (a[order] for a in (src, dst, il, ol, w))
+
+    first_arc = np.full(s, -1, dtype=np.int32)
+    uniq, first_pos = np.unique(src, return_index=True)
+    first_arc[uniq] = first_pos.astype(np.int32)
+
+    final = np.full(s, np.inf, dtype=np.float32)
+    final_states = rng.choice(s, size=max(1, s // 8), replace=False)
+    final[final_states] = rng.rand(final_states.size).astype(np.float32)
+
+    return Fst(start_state=0, final=final, first_arc=first_arc,
+               next_state=dst.astype(np.int32), ilabel=il.astype(np.int32),
+               olabel=ol.astype(np.int32), weight=w.astype(np.float32))
+
+
 def write_fixture_model(outdir: str, seed: int = 0, feat_dim: int = 40,
                         left: int = 2, right: int = 2, hidden: int = 64,
                         num_pdfs: int = 32, num_tids: int = 96,
@@ -123,6 +176,75 @@ def write_fixture_model(outdir: str, seed: int = 0, feat_dim: int = 40,
         fd.write("symbol_table = model.words\n")
         fd.write(f"left_context = {left}\n")
         fd.write(f"right_context = {right}\n")
+        fd.write(f"num_pdfs = {num_pdfs}\n")
+    return FixtureModel(conf_path=conf_path, num_pdfs=num_pdfs,
+                        num_tids=num_tids, feat_dim=feat_dim,
+                        left_context=left, right_context=right,
+                        num_states=num_states, words=words)
+
+
+def write_bench_model(outdir: str, seed: int = 0, feat_dim: int = 40,
+                      left: int = 5, right: int = 5, hidden: int = 1024,
+                      num_hidden_layers: int = 3, num_pdfs: int = 3448,
+                      num_tids: int = 10000, num_states: int = 100_000,
+                      num_words: int = 8000) -> FixtureModel:
+    """Bench-scale model pack: nnet2-era AM + large synthetic HCLG.
+
+    Dimensions mirror a typical mobile nnet2 recipe (splice ±5 of 40-dim
+    fbank → several 1024-wide ReLU+Normalize layers → ~3.5k pdf softmax) and
+    a six-figure-state decoding graph.  Written in the reference's formats so
+    the same pack drives both this framework and the compiled reference
+    binary for baseline measurement.
+    """
+    os.makedirs(outdir, exist_ok=True)
+    rng = np.random.RandomState(seed)
+    in_dim = (left + 1 + right) * feat_dim
+
+    layers: List[binary.LayerSpec] = []
+    dim = in_dim
+    for _ in range(num_hidden_layers):
+        layers.append(binary.LayerSpec(
+            kind=binary.LAYER_LINEAR,
+            weight=(rng.randn(hidden, dim) / np.sqrt(dim)).astype(np.float32),
+            bias=(rng.randn(hidden) * 0.1).astype(np.float32)))
+        layers.append(binary.LayerSpec(kind=binary.LAYER_RELU))
+        layers.append(binary.LayerSpec(kind=binary.LAYER_NORMALIZE))
+        dim = hidden
+    layers.append(binary.LayerSpec(
+        kind=binary.LAYER_LINEAR,
+        weight=(rng.randn(num_pdfs, dim) / np.sqrt(dim)).astype(np.float32),
+        bias=(rng.randn(num_pdfs) * 0.1).astype(np.float32)))
+    layers.append(binary.LayerSpec(kind=binary.LAYER_SOFTMAX))
+    binary.write_nnet_file(os.path.join(outdir, "model.nnet"),
+                           binary.NnetSpec(layers=layers))
+
+    prior = (rng.rand(num_pdfs).astype(np.float32) + 0.1)
+    prior /= prior.sum()
+    binary.write_vector_file(os.path.join(outdir, "model.prior"), prior)
+
+    tid2pdf = rng.randint(0, num_pdfs, size=num_tids + 1).astype(np.int32)
+    tid2pdf[0] = 0
+    binary.write_vector_file(os.path.join(outdir, "model.tid2pdf"), tid2pdf)
+
+    count = 5000.0
+    stats = np.concatenate([
+        (rng.randn(feat_dim) * 2.0 + 8.0).astype(np.float32) * count,
+        [count]]).astype(np.float32)
+    binary.write_vector_file(os.path.join(outdir, "model.cmvn"), stats)
+
+    graph = make_bench_graph(rng, num_states, num_tids, num_words)
+    graph.write(os.path.join(outdir, "model.fst"))
+
+    words = ["<eps>"] + [f"w{i:05d}" for i in range(1, num_words)]
+    SymbolTable(words).write(os.path.join(outdir, "model.words"))
+
+    conf_path = os.path.join(outdir, "model.conf")
+    with open(conf_path, "w") as fd:
+        fd.write("# pocketkaldi_tpu bench model pack\n")
+        fd.write("nnet = model.nnet\nprior = model.prior\n")
+        fd.write("tid2pdf = model.tid2pdf\ncmvn_stats = model.cmvn\n")
+        fd.write("fst = model.fst\nsymbol_table = model.words\n")
+        fd.write(f"left_context = {left}\nright_context = {right}\n")
         fd.write(f"num_pdfs = {num_pdfs}\n")
     return FixtureModel(conf_path=conf_path, num_pdfs=num_pdfs,
                         num_tids=num_tids, feat_dim=feat_dim,
