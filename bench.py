@@ -114,27 +114,40 @@ def measure_reference(conf_path, wav_paths):
     return result
 
 
+def log(msg):
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+
 def main():
     import jax
+    # Persistent compile cache: the decode program is large; reuse across runs.
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(CACHE, "jaxcache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     from pocketkaldi_tpu import Recognizer
     from pocketkaldi_tpu.hparams import DecoderOptions
     from pocketkaldi_tpu.io import wav as wavio
 
+    log("generating model pack...")
     conf_path = ensure_model()
+    log("generating wavs...")
     wav_paths = ensure_wavs()
     waves = [wavio.read_16k_pcm(p) for p in wav_paths]
 
+    log(f"loading model on backend={jax.default_backend()}...")
     rec = Recognizer.load(conf_path)
-    # K=4096 exact top-K; transcripts agree with the reference's 30k sampled
+    # K=2048 exact top-K; transcripts agree with the reference's 30k sampled
     # cutoff on this pack (checked below) at a fraction of the beam work.
-    rec.decoder_opts = DecoderOptions(max_active=4096, expand_factor=8,
-                                      chunk_frames=128)
+    rec.decoder_opts = DecoderOptions(max_active=2048, expand_factor=8,
+                                      chunk_frames=64)
     rec.decoder = type(rec.decoder)(rec.fst, rec.am.tid2pdf,
                                     rec.decoder_opts)
 
     # Warm-up: compile every shape bucket once.
+    log("warmup/compile...")
     rec.process_batch(waves)
     rec.timers.reset()
+    log("timed runs...")
 
     runs = 3
     t0 = time.perf_counter()

@@ -77,6 +77,8 @@ class GraphArrays:
     final: jnp.ndarray        # (S,)
     start_state: int
     eps_depth: int
+    emit_max_degree: int      # max emitting out-degree over states
+    eps_max_degree: int       # max epsilon out-degree over states
 
     @classmethod
     def build(cls, fst: Fst, tid2pdf: np.ndarray) -> "GraphArrays":
@@ -105,6 +107,10 @@ class GraphArrays:
             final=jnp.asarray(fst.final),
             start_state=int(fst.start_state),
             eps_depth=int(fst.eps_depth),
+            emit_max_degree=int(np.diff(emit_ptr).max()) if len(emit_ptr) > 1
+            else 0,
+            eps_max_degree=int(np.diff(eps_ptr).max()) if len(eps_ptr) > 1
+            else 0,
         )
 
     # Make hashable-by-identity so jitted functions can close over it.
@@ -154,21 +160,25 @@ def select_beam(state: jnp.ndarray, cost: jnp.ndarray, prev: jnp.ndarray,
     lexicographic sort on (state, cost) and a first-of-run mask, and the
     sampled cutoff (decoder.cc:132-182) with an exact top-K.  The stable sort
     preserves the reference's keep-existing-on-tie semantics when callers
-    order existing tokens before new candidates.
+    order existing tokens before new candidates.  Sort payload is a single
+    index array; prev/word gather through it afterwards.
     """
+    n = state.shape[0]
     best = jnp.min(cost)
     cost = jnp.where(cost <= best + beam_width, cost, jnp.inf)
     state_key = jnp.where(jnp.isinf(cost), INT_MAX, state)
-    s_state, s_cost, s_prev, s_word = jax.lax.sort(
-        (state_key, cost, prev, word), num_keys=2, is_stable=True)
+    iota = jnp.arange(n, dtype=jnp.int32)
+    s_state, s_cost, s_idx = jax.lax.sort(
+        (state_key, cost, iota), num_keys=2, is_stable=True)
     first = jnp.concatenate(
         [jnp.ones((1,), bool), s_state[1:] != s_state[:-1]])
     s_cost = jnp.where(first, s_cost, jnp.inf)
     neg_top, idx = jax.lax.top_k(-s_cost, k)
     new_cost = -neg_top
+    src = s_idx[idx]
     new_state = jnp.where(jnp.isinf(new_cost), -1, s_state[idx])
-    new_prev = s_prev[idx]
-    new_word = jnp.where(jnp.isinf(new_cost), 0, s_word[idx])
+    new_prev = prev[src]
+    new_word = jnp.where(jnp.isinf(new_cost), 0, word[src])
     return Beam(new_state, new_cost), new_prev, new_word
 
 
@@ -181,9 +191,15 @@ def _emitting(beam: Beam, scores_t: jnp.ndarray, g: GraphArrays,
     """One ProcessEmitting (decoder.cc:224-301): expand non-eps arcs, score,
     prune, dedup, select."""
     k = beam.state.shape[0]
-    order = jnp.argsort(beam.cost)
-    s_state = beam.state[order]
-    s_cost = beam.cost[order]
+    if k * g.emit_max_degree <= opts.expand_budget:
+        # Budget provably covers every arc of every token — skip the
+        # best-first ordering used for principled truncation.
+        order = jnp.arange(k, dtype=jnp.int32)
+        s_state, s_cost = beam.state, beam.cost
+    else:
+        order = jnp.argsort(beam.cost).astype(jnp.int32)
+        s_state = beam.state[order]
+        s_cost = beam.cost[order]
     arc, tok, valid = expand_arcs(s_state, g.emit_ptr, opts.expand_budget)
     ac_cost = -scores_t[g.emit_pdf[arc]]     # scores already acoustic-scaled
     cand_cost = s_cost[tok] + g.emit_weight[arc] + ac_cost
@@ -201,9 +217,13 @@ def _eps_sweep(beam: Beam, g: GraphArrays, opts: DecoderOptions,
     decoder.cc:186-221).  Existing tokens are carried as candidates with
     identity backpointers so surviving tokens keep their history."""
     k = beam.state.shape[0]
-    order = jnp.argsort(beam.cost)
-    s_state = beam.state[order]
-    s_cost = beam.cost[order]
+    if k * g.eps_max_degree <= opts.expand_budget:
+        order = jnp.arange(k, dtype=jnp.int32)
+        s_state, s_cost = beam.state, beam.cost
+    else:
+        order = jnp.argsort(beam.cost).astype(jnp.int32)
+        s_state = beam.state[order]
+        s_cost = beam.cost[order]
     arc, tok, valid = expand_arcs(s_state, g.eps_ptr, opts.expand_budget)
     cand_cost = jnp.where(valid, s_cost[tok] + g.eps_weight[arc], jnp.inf)
     cand_state = jnp.where(valid, g.eps_next[arc], -1)

@@ -49,8 +49,9 @@ class ViterbiDecoder:
         if opts.max_eps_iters is not None:
             self.num_eps_iters = opts.max_eps_iters
         else:
-            # +1 sweep of slack over the measured longest chain, min 1
-            self.num_eps_iters = max(1, min(self.graph.eps_depth + 1, 16))
+            # Bellman-Ford over the eps DAG: d sweeps finalize all shortest
+            # eps-paths of ≤ d edges; d = measured longest chain (Fst.eps_depth)
+            self.num_eps_iters = max(1, min(self.graph.eps_depth, 16))
 
     # ------------------------------------------------------------------
     def decode(self, scores: np.ndarray,
