@@ -327,6 +327,36 @@ def init_beam_batch(batch: int, g: GraphArrays, opts: DecoderOptions,
     return jax.vmap(one)(jnp.arange(batch))
 
 
+@jax.jit
+def traceback_chunk(slot: jnp.ndarray, rec: StepRecord):
+    """Walk one chunk's records backwards on device.
+
+    slot: (B,) current slot (entering from the NEXT chunk / final beam);
+    rec:  records with shapes (B, C, G, K).
+    Returns (new slot (B,), words (B, C, G)) where words[b, t, g] is the
+    olabel collected at that generation (0 = none), to be read backwards
+    (t descending, g descending) by the host assembler.
+
+    This keeps the giant (B, C, G, K) arrays on device — only the (B, C, G)
+    word plane crosses to the host, which matters when the host↔device link
+    is the bottleneck.
+    """
+    def per_utt(s, prev, word):           # prev/word: (C, G, K)
+        def step_t(s, xs):
+            prev_t, word_t = xs           # (G, K)
+            def step_g(s2, xs2):
+                p, w = xs2                # (K,)
+                s2c = jnp.maximum(s2, 0)
+                return p[s2c], w[s2c]
+            s, words_rev = jax.lax.scan(step_g, s,
+                                        (prev_t[::-1], word_t[::-1]))
+            return s, words_rev[::-1]     # (G,)
+        s, words_rev = jax.lax.scan(step_t, s, (prev[::-1], word[::-1]))
+        return s, words_rev[::-1]         # (C, G)
+
+    return jax.vmap(per_utt)(slot, rec.prev, rec.word)
+
+
 @partial(jax.jit, static_argnames=("g",))
 def best_final(beam: Beam, g: GraphArrays):
     """argmin over cost + final(state) (BestPath head, decoder.cc:308-319).

@@ -1,14 +1,22 @@
-"""Decoder orchestration: chunked device scans + host-side traceback.
+"""Decoder orchestration: chunked device scans + traceback.
 
 The device side (``beam.py``) emits per-frame backpointer generations; this
-module runs the chunk loop, accumulates the (small) records on the host, and
-unwinds the best path — the analogue of ``Decoder::BestPath``'s OLabel-chain
-walk (``src/decoder.cc:304-339``) without any GC: liveness is implicit in the
-(frame, generation, slot) indexing.
+module runs the chunk loop and unwinds the best path — the analogue of
+``Decoder::BestPath``'s OLabel-chain walk (``src/decoder.cc:304-339``)
+without any GC: liveness is implicit in the (frame, generation, slot)
+indexing.
 
-Memory is O(chunk) on device (SURVEY.md §5.7's long-audio requirement): each
-chunk's records are fetched to host numpy before the next chunk runs, so
-utterance length is unbounded.
+Two traceback modes (``DecoderOptions.offload_records``):
+
+  * **device mode** (default): records stay in HBM; after the forward pass a
+    jitted backward walk (``traceback_chunk``) follows the best slot through
+    each chunk, and only the tiny (B, C, G) word planes cross to the host.
+    Best when records fit in HBM — host↔device bandwidth is often the
+    bottleneck (e.g. tunneled TPUs).
+  * **offload mode**: records are fetched per chunk with one-chunk lookahead
+    (copy overlaps next-chunk compute) and the traceback runs on the host
+    (C++ batched implementation in ``native/``, Python fallback).  Device
+    memory stays O(chunk) for arbitrarily long audio (SURVEY.md §5.7).
 """
 
 from __future__ import annotations
@@ -22,7 +30,7 @@ import numpy as np
 from ..fst import Fst
 from ..hparams import DecoderOptions
 from .beam import (Beam, GraphArrays, best_final, decode_chunk,
-                   init_beam_batch)
+                   init_beam_batch, traceback_chunk)
 
 
 @dataclasses.dataclass
@@ -72,10 +80,12 @@ class ViterbiDecoder:
 
         beam, init_rec = init_beam_batch(b, self.graph, self.opts,
                                          self.num_eps_iters)
-        host_recs = [(np.asarray(init_rec.prev), np.asarray(init_rec.word))]
 
         chunk = self.opts.chunk_frames
         frame_idx = np.arange(t)
+        offload = self.opts.offload_records
+        host_recs = []      # offload mode: [(prev, word) numpy]
+        device_recs = []    # device mode: [StepRecord on device]
         pending = None
         for lo in range(0, t, chunk):
             hi = min(lo + chunk, t)
@@ -84,34 +94,34 @@ class ViterbiDecoder:
                 frame_idx[lo:hi][None, :] < num_frames[:, None])
             beam, recs = decode_chunk(beam, sl, valid, self.graph,
                                       self.opts, self.num_eps_iters)
-            # One-chunk lookahead: fetch chunk t-1's records while chunk t
-            # computes, keeping device memory O(chunk) and overlapping the
-            # device→host copy with compute.
-            if pending is not None:
-                host_recs.append((np.asarray(pending.prev),
-                                  np.asarray(pending.word)))
-            pending = recs
+            if offload:
+                # One-chunk lookahead: fetch chunk t-1's records while chunk
+                # t computes.
+                if pending is not None:
+                    host_recs.append((np.asarray(pending.prev),
+                                      np.asarray(pending.word)))
+                pending = recs
+            else:
+                device_recs.append(recs)
         if pending is not None:
             host_recs.append((np.asarray(pending.prev),
                               np.asarray(pending.word)))
 
         slot, total, fin = best_final(beam, self.graph)
-        slot = np.asarray(slot)
+        slot_np = np.asarray(slot)
         total = np.asarray(total)
         fin = np.asarray(fin)
 
-        # Concatenate frame records: (B, T, 1+G, K)
-        prev = np.concatenate([r[0] for r in host_recs[1:]], axis=1) \
-            if t else np.zeros((b, 0, 1, 1), np.int32)
-        word = np.concatenate([r[1] for r in host_recs[1:]], axis=1) \
-            if t else np.zeros((b, 0, 1, 1), np.int32)
-        init_prev, init_word = host_recs[0]
+        if offload or not device_recs:
+            all_words = self._traceback_offload(slot_np, host_recs, init_rec,
+                                                num_frames, b, t)
+        else:
+            all_words = self._traceback_device(slot, slot_np, device_recs,
+                                               init_rec, b)
 
-        all_words = self._traceback_batch(slot, prev, word, init_prev,
-                                          init_word, num_frames)
         out = []
         for i in range(b):
-            if slot[i] < 0:
+            if slot_np[i] < 0:
                 out.append(Hypothesis([], 0.0, float("inf"),
                                       int(num_frames[i])))
                 continue
@@ -124,9 +134,52 @@ class ViterbiDecoder:
                                   int(num_frames[i])))
         return out
 
-    def _traceback_batch(self, slot, prev, word, init_prev, init_word,
-                         num_frames) -> List[List[int]]:
-        """Native batched traceback when available; Python fallback."""
+    # ------------------------------------------------------------------
+    def _traceback_device(self, slot, slot_np, device_recs, init_rec,
+                          b) -> List[List[int]]:
+        """Jitted backward walk per chunk; only word planes cross to host."""
+        planes = []
+        s = jnp.maximum(slot, 0)
+        for recs in reversed(device_recs):
+            s, words = traceback_chunk(s, recs)
+            planes.append(words)
+        # Fetch: word planes (B, C, G) + final slot + tiny init records.
+        planes_np = [np.asarray(p) for p in reversed(planes)]
+        plane = np.concatenate(planes_np, axis=1) if planes_np else \
+            np.zeros((b, 0, 1), np.int32)
+        s_np = np.asarray(s)
+        init_prev = np.asarray(init_rec.prev)
+        init_word = np.asarray(init_rec.word)
+
+        out = []
+        for i in range(b):
+            if slot_np[i] < 0:
+                out.append([])
+                continue
+            # init-closure walk (host; G0 × K is tiny)
+            words_init_rev = []
+            si = int(s_np[i])
+            for gen in range(init_prev.shape[1] - 1, -1, -1):
+                w = int(init_word[i, gen, si])
+                if w:
+                    words_init_rev.append(w)
+                si = int(init_prev[i, gen, si])
+            flat = plane[i].reshape(-1)
+            words = words_init_rev[::-1] + [int(w) for w in flat if w]
+            out.append(words)
+        return out
+
+    # ------------------------------------------------------------------
+    def _traceback_offload(self, slot, host_recs, init_rec, num_frames,
+                           b, t) -> List[List[int]]:
+        """Host traceback over offloaded records (native C++ or Python)."""
+        prev = np.concatenate([r[0] for r in host_recs], axis=1) \
+            if host_recs else np.zeros((b, 0, 1, 1), np.int32)
+        word = np.concatenate([r[1] for r in host_recs], axis=1) \
+            if host_recs else np.zeros((b, 0, 1, 1), np.int32)
+        init_prev = np.asarray(init_rec.prev)
+        init_word = np.asarray(init_rec.word)
+
         from ..io import native
         if prev.shape[1] and native.available():
             try:
@@ -138,7 +191,7 @@ class ViterbiDecoder:
             _traceback(int(slot[i]), prev[i], word[i], init_prev[i],
                        init_word[i], int(num_frames[i]))
             if slot[i] >= 0 else []
-            for i in range(slot.shape[0])]
+            for i in range(b)]
 
 
 def _traceback(slot: int, prev: np.ndarray, word: np.ndarray,

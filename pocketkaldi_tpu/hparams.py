@@ -78,6 +78,11 @@ class DecoderOptions:
     # weight twice (decoder.cc:314 adds it into best_cost, decoder.cc:336 adds
     # it again).  True reproduces that reported number for CLI parity.
     compat_double_final: bool = True
+    # offload_records=True streams backpointer records to the host each chunk
+    # (O(chunk) device memory — long-audio mode).  False keeps them on device
+    # and runs the traceback there, fetching only per-chunk word planes —
+    # the fast path when records fit in HBM.
+    offload_records: bool = False
 
     @property
     def expand_budget(self) -> int:

@@ -149,3 +149,20 @@ def test_beam_pruning_keeps_one_best():
     hyp = dec.decode(scores[None])[0]
     assert hyp.words == want_words
     assert hyp.total_cost == pytest.approx(want_cost, rel=1e-5)
+
+
+def test_offload_mode_matches_device_mode():
+    """Both traceback modes must produce identical hypotheses."""
+    rng = np.random.RandomState(45)
+    fst = make_decoding_graph(rng, 35, 25, 9)
+    tid2pdf = rng.randint(0, 10, size=26).astype(np.int32)
+    scores = (rng.randn(3, 20, 10) * 2.0).astype(np.float32)
+    base = DecoderOptions(max_active=64, expand_factor=8, chunk_frames=6)
+    dev = ViterbiDecoder(fst, tid2pdf, base).decode(scores)
+    off = ViterbiDecoder(
+        fst, tid2pdf,
+        DecoderOptions(max_active=64, expand_factor=8, chunk_frames=6,
+                       offload_records=True)).decode(scores)
+    for a, b in zip(dev, off):
+        assert a.words == b.words
+        assert a.total_cost == pytest.approx(b.total_cost, rel=1e-6)
