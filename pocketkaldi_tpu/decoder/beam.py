@@ -10,20 +10,29 @@ This replaces the reference's pointer-chasing token-passing loop
     (decoder.cc:99-130)                      mask → min-cost per state
   GetCutoff: 200 LCG samples + nth_element exact beam pruning + exact top-K
     (decoder.cc:132-182)                     (lax.top_k) — *more* deterministic
-  ProcessEmitting per-token arc loop       CSR arc expansion: prefix-sum +
-    (decoder.cc:224-301)                     searchsorted gather, fixed budget E
+  ProcessEmitting per-token arc loop       blocked arc tables: per-state arcs
+    (decoder.cc:224-301)                     padded into (D=8)-arc blocks; a
+                                             token expands by ROW-gathering
+                                             its blocks (amortized gather)
   ProcessNonemitting work-list DFS         bounded epsilon sweeps (lax.scan)
     (decoder.cc:186-221)                     to the graph's eps-depth fixpoint
   OLabel GC'd cons-lists (pool.h:164-220)  per-generation backpointer records
-                                             (prev_slot, word), traced back on
-                                             host — no GC needed
+                                             (prev_slot, word); device or host
+                                             traceback — no GC needed
 
-Shapes are static everywhere: K = beam capacity (max-active), E = arc
-expansion budget, G = epsilon sweeps per frame.  Empty beam slots carry
-state = -1 / cost = +inf.  A frame step emits 1+G backpointer "generations";
-generation g maps slot k of generation g to (prev_slot in generation g-1,
-word emitted on the traversed arc).  Batch = a leading vmap axis; the graph
-arrays are closed over and replicated.
+Why blocks: TPU gathers cost ~10ns *per index* regardless of payload, so the
+natural CSR formulation (one gather per candidate arc ≈ 9 E-sized gathers per
+frame) is gather-bound.  Padding each state's arcs into fixed 8-arc blocks
+turns expansion into a handful of block-row gathers with E/8 indices and 128
+bytes per row — per-index overhead amortized 32×.  Pad lanes carry weight=+∞
+so they price themselves out of the beam with zero extra masking.
+
+Shapes are static everywhere: K = beam capacity (max-active), EB = block
+budget (expand_budget/8), G = epsilon sweeps per frame.  Empty beam slots
+carry state = -1 / cost = +inf.  A frame step emits 1+G backpointer
+"generations"; generation g maps slot k to (prev_slot in generation g-1,
+word emitted on the arc).  Batch = a leading vmap axis; graph arrays are
+closed over and replicated.
 """
 
 from __future__ import annotations
@@ -40,6 +49,7 @@ from ..fst import Fst
 from ..hparams import DecoderOptions
 
 INT_MAX = np.iinfo(np.int32).max
+BLOCK = 8  # arcs per block; one block row = 4 fields × 8 lanes = 128 B
 
 
 class Beam(NamedTuple):
@@ -58,60 +68,86 @@ class StepRecord(NamedTuple):
     word: jnp.ndarray
 
 
+class ArcBlocks(NamedTuple):
+    """Blocked arc table for one arc class (emitting or epsilon).
+
+    blk_ptr: (S+1,) int32 — block range of state s is blk_ptr[s]..blk_ptr[s+1];
+             an extra all-pad row sits at index NB (the "parking" row for
+             out-of-budget block slots).
+    packed:  (NB+1, 4, BLOCK) int32 — fields [next_state, pdf, olabel,
+             weight(bitcast f32)]; pad lanes have weight=+inf, next=0.
+             For the epsilon class the pdf plane is zero.
+    max_blocks: int — max blocks any single state owns (static; sizing bound).
+    """
+    blk_ptr: jnp.ndarray
+    packed: jnp.ndarray
+    max_blocks: int
+
+
+def _build_blocks(num_states: int, arc_src: np.ndarray, nxt: np.ndarray,
+                  pdf: np.ndarray, olabel: np.ndarray,
+                  weight: np.ndarray) -> ArcBlocks:
+    """Pack one arc class (arrays already sorted by source state) into blocks."""
+    counts = np.bincount(arc_src, minlength=num_states) \
+        if arc_src.size else np.zeros(num_states, dtype=np.int64)
+    blk_counts = -(-counts // BLOCK)                       # ceil-div
+    blk_ptr = np.zeros(num_states + 1, dtype=np.int32)
+    np.cumsum(blk_counts, out=blk_ptr[1:])
+    nb = int(blk_ptr[-1])
+
+    packed = np.zeros((nb + 1, 4, BLOCK), dtype=np.int32)
+    inf_bits = np.float32(np.inf).view(np.int32)
+    packed[:, 3, :] = inf_bits                             # weight = +inf pad
+    if arc_src.size:
+        arc_ptr = np.zeros(num_states + 1, dtype=np.int64)
+        np.cumsum(counts, out=arc_ptr[1:])
+        local = np.arange(arc_src.size, dtype=np.int64) - arc_ptr[arc_src]
+        row = blk_ptr[arc_src] + (local // BLOCK)
+        col = local % BLOCK
+        packed[row, 0, col] = nxt
+        packed[row, 1, col] = pdf
+        packed[row, 2, col] = olabel
+        packed[row, 3, col] = weight.astype(np.float32).view(np.int32)
+    return ArcBlocks(
+        blk_ptr=jnp.asarray(blk_ptr),
+        packed=jnp.asarray(packed),
+        max_blocks=int(blk_counts.max()) if num_states else 0,
+    )
+
+
 @dataclasses.dataclass(frozen=True)
 class GraphArrays:
-    """Device-resident CSR views of the decoding graph.
+    """Device-resident blocked views of the decoding graph.
 
     Emitting arcs carry a precomputed pdf id (tid2pdf applied at load —
     replaces the per-arc ``TransitionIdToPdfId`` lookup, decodable.cc:24-31).
     """
-    emit_ptr: jnp.ndarray     # (S+1,)
-    emit_next: jnp.ndarray    # (Ae,)
-    emit_pdf: jnp.ndarray     # (Ae,)
-    emit_olabel: jnp.ndarray  # (Ae,)
-    emit_weight: jnp.ndarray  # (Ae,)
-    eps_ptr: jnp.ndarray      # (S+1,)
-    eps_next: jnp.ndarray     # (An,)
-    eps_olabel: jnp.ndarray   # (An,)
-    eps_weight: jnp.ndarray   # (An,)
+    emit: ArcBlocks
+    eps: ArcBlocks
     final: jnp.ndarray        # (S,)
     start_state: int
     eps_depth: int
-    emit_max_degree: int      # max emitting out-degree over states
-    eps_max_degree: int       # max epsilon out-degree over states
 
     @classmethod
     def build(cls, fst: Fst, tid2pdf: np.ndarray) -> "GraphArrays":
-        emit_ptr, emit_idx = fst.emit_row_ptr_and_arcs
-        eps_ptr, eps_idx = fst.eps_row_ptr_and_arcs
-        emit_ilabel = fst.ilabel[emit_idx]
         tid2pdf = np.asarray(tid2pdf, dtype=np.int32)
+        s = fst.num_states
+        src = fst.arc_source
 
-        def pad1(arr, fill):
-            # Zero-length arc classes still need gatherable arrays; row_ptrs
-            # never reference the dummy entry (all counts are 0).
-            if arr.shape[0] == 0:
-                return np.full(1, fill, dtype=arr.dtype)
-            return arr
-
-        return cls(
-            emit_ptr=jnp.asarray(emit_ptr),
-            emit_next=jnp.asarray(pad1(fst.next_state[emit_idx], 0)),
-            emit_pdf=jnp.asarray(pad1(tid2pdf[emit_ilabel], 0)),
-            emit_olabel=jnp.asarray(pad1(fst.olabel[emit_idx], 0)),
-            emit_weight=jnp.asarray(pad1(fst.weight[emit_idx], np.inf)),
-            eps_ptr=jnp.asarray(eps_ptr),
-            eps_next=jnp.asarray(pad1(fst.next_state[eps_idx], 0)),
-            eps_olabel=jnp.asarray(pad1(fst.olabel[eps_idx], 0)),
-            eps_weight=jnp.asarray(pad1(fst.weight[eps_idx], np.inf)),
-            final=jnp.asarray(fst.final),
-            start_state=int(fst.start_state),
-            eps_depth=int(fst.eps_depth),
-            emit_max_degree=int(np.diff(emit_ptr).max()) if len(emit_ptr) > 1
-            else 0,
-            eps_max_degree=int(np.diff(eps_ptr).max()) if len(eps_ptr) > 1
-            else 0,
-        )
+        is_emit = fst.ilabel != 0
+        emit_idx = np.nonzero(is_emit)[0]
+        eps_idx = np.nonzero(~is_emit)[0]
+        emit = _build_blocks(
+            s, src[emit_idx], fst.next_state[emit_idx],
+            tid2pdf[fst.ilabel[emit_idx]], fst.olabel[emit_idx],
+            fst.weight[emit_idx])
+        eps = _build_blocks(
+            s, src[eps_idx], fst.next_state[eps_idx],
+            np.zeros(eps_idx.size, dtype=np.int32), fst.olabel[eps_idx],
+            fst.weight[eps_idx])
+        return cls(emit=emit, eps=eps, final=jnp.asarray(fst.final),
+                   start_state=int(fst.start_state),
+                   eps_depth=int(fst.eps_depth))
 
     # Make hashable-by-identity so jitted functions can close over it.
     def __hash__(self):
@@ -125,30 +161,48 @@ class GraphArrays:
 # Core primitives
 # ---------------------------------------------------------------------------
 
-def expand_arcs(states: jnp.ndarray, ptr: jnp.ndarray,
-                budget: int) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """CSR arc expansion with a fixed budget.
+def expand_blocks(states: jnp.ndarray, costs: jnp.ndarray,
+                  slots: jnp.ndarray, blocks: ArcBlocks, eb: int):
+    """Expand each token's arc blocks into flat candidate arrays.
 
-    For each token (states, -1 = empty) enumerate its arc range
-    ``ptr[s]..ptr[s+1]`` into a flat list of at most ``budget`` entries via
-    prefix sums + searchsorted.  Returns (arc_idx, tok_idx, valid) each of
-    shape (budget,).  If the true total exceeds the budget, the *last* tokens'
-    arcs are dropped — callers sort tokens best-cost-first so the loss falls
-    on the worst tokens (a tightening of max-active pruning).
+    states/costs/slots: (K,) token arrays (slots = backpointer slot ids).
+    eb: static block budget.  Returns (next, pdf, olabel, weight, cand_cost
+    base prep) pieces as (EB, BLOCK) arrays plus per-candidate token info.
+
+    If the true block total exceeds ``eb`` the *last* tokens lose arcs —
+    callers order tokens best-first when overflow is possible.
     """
     k = states.shape[0]
+    nb = blocks.packed.shape[0] - 1          # index of the all-pad row
     safe = jnp.maximum(states, 0)
-    start = ptr[safe]
-    cnt = jnp.where(states < 0, 0, ptr[safe + 1] - start)
-    offsets = jnp.cumsum(cnt)                       # inclusive, (K,)
+    start = blocks.blk_ptr[safe]
+    cnt = jnp.where(states < 0, 0, blocks.blk_ptr[safe + 1] - start)
+    offsets = jnp.cumsum(cnt)
+    shifted = jnp.concatenate([jnp.zeros(1, offsets.dtype), offsets[:-1]])
     total = offsets[-1]
-    e = jnp.arange(budget, dtype=jnp.int32)
+
+    e = jnp.arange(eb, dtype=jnp.int32)
     tok = jnp.searchsorted(offsets, e, side="right").astype(jnp.int32)
-    tok_c = jnp.minimum(tok, k - 1)
-    prev_off = jnp.where(tok_c > 0, offsets[tok_c - 1], 0)
-    arc = start[tok_c] + (e - prev_off)
-    valid = e < jnp.minimum(total, budget)
-    return jnp.where(valid, arc, 0), tok_c, valid
+    tok = jnp.minimum(tok, k - 1)
+
+    # Pack per-token values and fetch them with ONE row-gather each.
+    tok_i32 = jnp.stack([start, shifted], axis=1)          # (K, 2)
+    tok_f32 = jnp.stack([costs, slots.astype(jnp.float32)], axis=1)
+    g_i = tok_i32[tok]                                     # (EB, 2)
+    g_f = tok_f32[tok]                                     # (EB, 2)
+    blk = g_i[:, 0] + (e - g_i[:, 1])
+    valid = e < jnp.minimum(total, eb)
+    blk = jnp.where(valid, blk, nb)                        # park on pad row
+
+    rows = blocks.packed[blk]                              # (EB, 4, BLOCK)
+    nxt = rows[:, 0, :]
+    pdf = rows[:, 1, :]
+    olabel = rows[:, 2, :]
+    weight = jax.lax.bitcast_convert_type(rows[:, 3, :], jnp.float32)
+
+    tok_cost = g_f[:, 0]                                   # (EB,)
+    tok_slot = g_f[:, 1].astype(jnp.int32)                 # (EB,)
+    return nxt, pdf, olabel, weight, tok_cost, tok_slot
 
 
 def select_beam(state: jnp.ndarray, cost: jnp.ndarray, prev: jnp.ndarray,
@@ -161,7 +215,7 @@ def select_beam(state: jnp.ndarray, cost: jnp.ndarray, prev: jnp.ndarray,
     sampled cutoff (decoder.cc:132-182) with an exact top-K.  The stable sort
     preserves the reference's keep-existing-on-tie semantics when callers
     order existing tokens before new candidates.  Sort payload is a single
-    index array; prev/word gather through it afterwards.
+    index array; prev/word gather through it afterwards (K-sized gathers).
     """
     n = state.shape[0]
     best = jnp.min(cost)
@@ -186,28 +240,33 @@ def select_beam(state: jnp.ndarray, cost: jnp.ndarray, prev: jnp.ndarray,
 # Frame step
 # ---------------------------------------------------------------------------
 
+def _block_budget(opts: DecoderOptions) -> int:
+    return max(1, opts.expand_budget // BLOCK)
+
+
+def _order_tokens(beam: Beam, blocks: ArcBlocks, eb: int):
+    """Best-cost-first ordering, skipped when the budget provably suffices."""
+    k = beam.state.shape[0]
+    if k * blocks.max_blocks <= eb:
+        return beam.state, beam.cost, jnp.arange(k, dtype=jnp.int32)
+    order = jnp.argsort(beam.cost).astype(jnp.int32)
+    return beam.state[order], beam.cost[order], order
+
+
 def _emitting(beam: Beam, scores_t: jnp.ndarray, g: GraphArrays,
               opts: DecoderOptions) -> Tuple[Beam, jnp.ndarray, jnp.ndarray]:
     """One ProcessEmitting (decoder.cc:224-301): expand non-eps arcs, score,
     prune, dedup, select."""
     k = beam.state.shape[0]
-    if k * g.emit_max_degree <= opts.expand_budget:
-        # Budget provably covers every arc of every token — skip the
-        # best-first ordering used for principled truncation.
-        order = jnp.arange(k, dtype=jnp.int32)
-        s_state, s_cost = beam.state, beam.cost
-    else:
-        order = jnp.argsort(beam.cost).astype(jnp.int32)
-        s_state = beam.state[order]
-        s_cost = beam.cost[order]
-    arc, tok, valid = expand_arcs(s_state, g.emit_ptr, opts.expand_budget)
-    ac_cost = -scores_t[g.emit_pdf[arc]]     # scores already acoustic-scaled
-    cand_cost = s_cost[tok] + g.emit_weight[arc] + ac_cost
-    cand_cost = jnp.where(valid, cand_cost, jnp.inf)
-    cand_state = jnp.where(valid, g.emit_next[arc], -1)
-    cand_prev = order[tok]                   # slot in previous generation
-    cand_word = jnp.where(valid, g.emit_olabel[arc], 0)
-    return select_beam(cand_state, cand_cost, cand_prev, cand_word, k,
+    eb = _block_budget(opts)
+    s_state, s_cost, order = _order_tokens(beam, g.emit, eb)
+    nxt, pdf, olabel, weight, tok_cost, tok_slot = expand_blocks(
+        s_state, s_cost, order, g.emit, eb)
+    ac_cost = -scores_t[pdf]                 # (EB, BLOCK) gather
+    cand_cost = tok_cost[:, None] + weight + ac_cost
+    cand_prev = jnp.broadcast_to(tok_slot[:, None], nxt.shape)
+    return select_beam(nxt.reshape(-1), cand_cost.reshape(-1),
+                       cand_prev.reshape(-1), olabel.reshape(-1), k,
                        jnp.float32(opts.beam))
 
 
@@ -217,24 +276,18 @@ def _eps_sweep(beam: Beam, g: GraphArrays, opts: DecoderOptions,
     decoder.cc:186-221).  Existing tokens are carried as candidates with
     identity backpointers so surviving tokens keep their history."""
     k = beam.state.shape[0]
-    if k * g.eps_max_degree <= opts.expand_budget:
-        order = jnp.arange(k, dtype=jnp.int32)
-        s_state, s_cost = beam.state, beam.cost
-    else:
-        order = jnp.argsort(beam.cost).astype(jnp.int32)
-        s_state = beam.state[order]
-        s_cost = beam.cost[order]
-    arc, tok, valid = expand_arcs(s_state, g.eps_ptr, opts.expand_budget)
-    cand_cost = jnp.where(valid, s_cost[tok] + g.eps_weight[arc], jnp.inf)
-    cand_state = jnp.where(valid, g.eps_next[arc], -1)
-    cand_prev = order[tok]
-    cand_word = jnp.where(valid, g.eps_olabel[arc], 0)
+    eb = _block_budget(opts)
+    s_state, s_cost, order = _order_tokens(beam, g.eps, eb)
+    nxt, _pdf, olabel, weight, tok_cost, tok_slot = expand_blocks(
+        s_state, s_cost, order, g.eps, eb)
+    cand_cost = tok_cost[:, None] + weight
+    cand_prev = jnp.broadcast_to(tok_slot[:, None], nxt.shape)
 
     keep_slot = jnp.arange(k, dtype=jnp.int32)
-    all_state = jnp.concatenate([beam.state, cand_state])
-    all_cost = jnp.concatenate([beam.cost, cand_cost])
-    all_prev = jnp.concatenate([keep_slot, cand_prev])
-    all_word = jnp.concatenate([jnp.zeros(k, jnp.int32), cand_word])
+    all_state = jnp.concatenate([beam.state, nxt.reshape(-1)])
+    all_cost = jnp.concatenate([beam.cost, cand_cost.reshape(-1)])
+    all_prev = jnp.concatenate([keep_slot, cand_prev.reshape(-1)])
+    all_word = jnp.concatenate([jnp.zeros(k, jnp.int32), olabel.reshape(-1)])
     return select_beam(all_state, all_cost, all_prev, all_word, k, beam_width)
 
 
@@ -334,8 +387,8 @@ def traceback_chunk(slot: jnp.ndarray, rec: StepRecord):
     slot: (B,) current slot (entering from the NEXT chunk / final beam);
     rec:  records with shapes (B, C, G, K).
     Returns (new slot (B,), words (B, C, G)) where words[b, t, g] is the
-    olabel collected at that generation (0 = none), to be read backwards
-    (t descending, g descending) by the host assembler.
+    olabel collected at that generation (0 = none), to be read forwards
+    (t asc, g asc) by the host assembler.
 
     This keeps the giant (B, C, G, K) arrays on device — only the (B, C, G)
     word plane crosses to the host, which matters when the host↔device link
