@@ -161,6 +161,28 @@ class GraphArrays:
 # Core primitives
 # ---------------------------------------------------------------------------
 
+def _cumsum_mxu(x: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive int32 cumsum via two-level 128-wide triangular matmuls.
+
+    XLA's TPU cumsum lowers to a slow log-shift chain (~ms at K=2048).  Here:
+    reshape to (K/128, 128) rows, run each row through a 128×128 triangular
+    matmul on the MXU (tiny constant), then carry row totals with a short
+    cumsum.  Exact in f32 for sums < 2^24 (block counts are far below that).
+    """
+    k = x.shape[-1]
+    c = 128
+    if k < 2 * c or k % c != 0:
+        return jnp.cumsum(x)
+    xr = x.reshape(k // c, c).astype(jnp.float32)
+    triu = jnp.triu(jnp.ones((c, c), jnp.float32))     # M[l,j]=1 for l<=j
+    within = jnp.dot(xr, triu, preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
+    row_tot = within[:, -1]
+    carry = jnp.concatenate([jnp.zeros(1, jnp.float32),
+                             jnp.cumsum(row_tot)[:-1]])
+    return (within + carry[:, None]).reshape(k).astype(x.dtype)
+
+
 def expand_blocks(states: jnp.ndarray, costs: jnp.ndarray,
                   slots: jnp.ndarray, blocks: ArcBlocks, eb: int):
     """Expand each token's arc blocks into flat candidate arrays.
@@ -177,7 +199,7 @@ def expand_blocks(states: jnp.ndarray, costs: jnp.ndarray,
     safe = jnp.maximum(states, 0)
     start = blocks.blk_ptr[safe]
     cnt = jnp.where(states < 0, 0, blocks.blk_ptr[safe + 1] - start)
-    offsets = jnp.cumsum(cnt)
+    offsets = _cumsum_mxu(cnt)
     shifted = jnp.concatenate([jnp.zeros(1, offsets.dtype), offsets[:-1]])
     total = offsets[-1]
 
