@@ -95,3 +95,23 @@ def test_wer():
     r = corpus_wer(["a b c", "d e"], ["a b c", "d"])
     assert r.errors == 1 and r.ref_words == 5
     assert r.wer == pytest.approx(0.2)
+
+
+def test_compute_fbank_tool(tmp_path, reference_data_dir):
+    """The fbank dump tool (tool/compute_fbank.cc analogue) matches golden."""
+    import os
+    from pocketkaldi_tpu.tools.compute_fbank import dump_fbank_ark
+    scp = tmp_path / "wav.scp"
+    scp.write_text(
+        f"hello {os.path.join(reference_data_dir, 'en-us-hello.wav')}\n")
+    out = tmp_path / "fb.ark"
+    n = dump_fbank_ark(str(scp), str(out))
+    assert n == 1
+    text = out.read_text()
+    assert text.startswith("hello  [")
+    vals = np.array([float(t) for t in
+                     text.replace("hello  [", "").replace("]", "").split()])
+    golden = np.array([float(t) for t in open(os.path.join(
+        reference_data_dir, "fbankmat_en-us-hello.wav.txt")).read().split()])
+    assert vals.size == golden.size == 1880
+    assert np.abs(vals - golden).max() < 5e-5
