@@ -108,6 +108,46 @@ class StreamingDecoder:
             lane.recs.append((prev[i, :n], word[i, :n]))
             lane.frames_fed += n
 
+    # ------------------------------------------------------------------
+    # Checkpoint / resume (net-new vs the reference, SURVEY.md §5.4: an
+    # interrupted reference run restarts utterances from scratch; here the
+    # full decoding state snapshots to one .npz).
+    # ------------------------------------------------------------------
+    def save_state(self, path: str) -> None:
+        """Snapshot beam state + per-lane progress/records to ``path``."""
+        payload = {
+            "beam_state": np.asarray(self.beam.state),
+            "beam_cost": np.asarray(self.beam.cost),
+            "utt_ids": np.asarray(
+                [l.utt_id if l.utt_id is not None else "" for l in self.lanes],
+                dtype=object),
+            "frames_fed": np.asarray([l.frames_fed for l in self.lanes],
+                                     dtype=np.int64),
+        }
+        for i, lane in enumerate(self.lanes):
+            if lane.recs:
+                payload[f"recs_prev_{i}"] = np.concatenate(
+                    [r[0] for r in lane.recs], axis=0)
+                payload[f"recs_word_{i}"] = np.concatenate(
+                    [r[1] for r in lane.recs], axis=0)
+        np.savez_compressed(path, **payload, allow_pickle=True)
+
+    def load_state(self, path: str) -> None:
+        """Restore a snapshot taken by :meth:`save_state`."""
+        data = np.load(path, allow_pickle=True)
+        self.beam = Beam(jnp.asarray(data["beam_state"]),
+                         jnp.asarray(data["beam_cost"]))
+        utt_ids = data["utt_ids"]
+        frames = data["frames_fed"]
+        self.lanes = []
+        for i in range(self.num_lanes):
+            lane = _Lane(utt_id=str(utt_ids[i]) or None,
+                         frames_fed=int(frames[i]))
+            if f"recs_prev_{i}" in data:
+                lane.recs = [(data[f"recs_prev_{i}"],
+                              data[f"recs_word_{i}"])]
+            self.lanes.append(lane)
+
     def finish(self, lane: int) -> Hypothesis:
         """Finalize a lane's utterance, free the lane, return the 1-best."""
         l = self.lanes[lane]

@@ -89,3 +89,33 @@ def test_lane_guard(setup):
         sd.attach(1, "y")
     with pytest.raises(ValueError):
         sd.finish(0)
+
+
+def test_checkpoint_resume(setup, tmp_path):
+    """Decoding interrupted mid-utterance resumes to identical output."""
+    fst, tid2pdf, opts = setup
+    rng = np.random.RandomState(63)
+    p = 10
+    scores = (rng.randn(8, p) * 2.0).astype(np.float32)
+    want = ViterbiDecoder(fst, tid2pdf, opts).decode(scores[None])[0]
+
+    c = opts.chunk_frames
+    sd = StreamingDecoder(fst, tid2pdf, opts, num_lanes=2)
+    sd.attach(0, "u")
+    chunk = np.zeros((2, c, p), np.float32)
+    valid = np.zeros((2, c), bool)
+    chunk[0] = scores[:c]
+    valid[0] = True
+    sd.feed(chunk, valid)
+    ckpt = str(tmp_path / "state.npz")
+    sd.save_state(ckpt)
+
+    # "crash": build a fresh decoder and restore
+    sd2 = StreamingDecoder(fst, tid2pdf, opts, num_lanes=2)
+    sd2.load_state(ckpt)
+    assert sd2.lanes[0].utt_id == "u"
+    chunk[0] = scores[c:]
+    sd2.feed(chunk, valid)
+    got = sd2.finish(0)
+    assert got.words == want.words
+    assert got.total_cost == pytest.approx(want.total_cost, rel=1e-5)
