@@ -67,13 +67,26 @@ class ViterbiDecoder:
         """Decode a batch.
 
         scores:     (B, T, P) acoustic-scaled log-likelihoods (am.compute
-                    output with acoustic_scale applied)
-        num_frames: per-utterance valid frame counts (default: all T)
+                    output with acoustic_scale applied), OR a callable
+                    ``scores_fn(lo, hi) -> (B, C, P)`` for lazy per-chunk
+                    scoring (long audio: the full score matrix — the
+                    reference materializes it whole, decodable.cc:13-14 —
+                    never exists at once; see Recognizer's chunked scorer)
+        num_frames: per-utterance valid frame counts (required for callable
+                    scores; default: all T otherwise)
         """
-        scores = jnp.asarray(scores)
-        if scores.ndim == 2:
-            scores = scores[None]
-        b, t, _ = scores.shape
+        if callable(scores):
+            scores_fn = scores
+            if num_frames is None:
+                raise ValueError("num_frames required with callable scores")
+            t = int(max(num_frames))
+            b = len(num_frames)
+        else:
+            scores = jnp.asarray(scores)
+            if scores.ndim == 2:
+                scores = scores[None]
+            b, t, _ = scores.shape
+            scores_fn = lambda lo, hi: scores[:, lo:hi]
         if num_frames is None:
             num_frames = [t] * b
         num_frames = np.asarray(num_frames, dtype=np.int32)
@@ -89,7 +102,7 @@ class ViterbiDecoder:
         pending = None
         for lo in range(0, t, chunk):
             hi = min(lo + chunk, t)
-            sl = scores[:, lo:hi]
+            sl = jnp.asarray(scores_fn(lo, hi))
             valid = jnp.asarray(
                 frame_idx[lo:hi][None, :] < num_frames[:, None])
             beam, recs = decode_chunk(beam, sl, valid, self.graph,

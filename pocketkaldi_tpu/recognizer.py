@@ -21,6 +21,7 @@ from __future__ import annotations
 import dataclasses
 from typing import List, Optional, Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -52,7 +53,8 @@ class Recognizer:
                  cmvn_stats: np.ndarray,
                  fbank_opts: FbankOptions = FbankOptions(),
                  cmvn_opts: CmvnOptions = CmvnOptions(),
-                 decoder_opts: DecoderOptions = DecoderOptions()):
+                 decoder_opts: DecoderOptions = DecoderOptions(),
+                 lazy_scores_threshold: int = 4096):
         self.fst = fst
         self.am = am
         self.symbols = symbols
@@ -62,6 +64,11 @@ class Recognizer:
         self.decoder_opts = decoder_opts
         self.decoder = ViterbiDecoder(fst, am.tid2pdf, decoder_opts)
         self.timers = StageTimers()
+        # Utterances longer than this many frames score the AM lazily per
+        # decode chunk (with splice halo) instead of materializing the whole
+        # (B, T, num_pdfs) matrix — the reference materializes it whole
+        # (decodable.cc:13-14), capping utterance length by memory.
+        self.lazy_scores_threshold = lazy_scores_threshold
 
     # ------------------------------------------------------------------
     @classmethod
@@ -128,15 +135,50 @@ class Recognizer:
         with self.timers.stage("CMVN"):
             feats = apply_cmvn(feats, self.cmvn_stats, self.cmvn_opts)
             feats.block_until_ready()
-        with self.timers.stage("NNET"):
-            scores = self.am.compute(
-                feats, acoustic_scale=self.decoder_opts.acoustic_scale,
-                num_frames=jnp.asarray(frame_counts, dtype=jnp.int32))
-            scores.block_until_ready()
-        with self.timers.stage("decode"):
-            hyps = self.decoder.decode(scores, num_frames=frame_counts)
+        t_padded = feats.shape[1]
+        nf = jnp.asarray(frame_counts, dtype=jnp.int32)
+        if t_padded <= self.lazy_scores_threshold:
+            with self.timers.stage("NNET"):
+                scores = self.am.compute(
+                    feats, acoustic_scale=self.decoder_opts.acoustic_scale,
+                    num_frames=nf)
+                scores.block_until_ready()
+            with self.timers.stage("decode"):
+                hyps = self.decoder.decode(scores, num_frames=frame_counts)
+        else:
+            scores_fn = self._lazy_scorer(feats, nf)
+            with self.timers.stage("decode"):
+                hyps = self.decoder.decode(scores_fn,
+                                           num_frames=frame_counts)
 
         return [self._format(h) for h in hyps]
+
+    def _lazy_scorer(self, feats, num_frames):
+        """Per-chunk AM scoring with splice halo — O(chunk) score memory.
+
+        Every chunk scores a fixed-width feature window so a single compiled
+        program serves all chunks; the halo means spliced context at chunk
+        boundaries sees real neighbor frames, and the per-utterance
+        ``num_frames`` clamp keeps end-of-utterance edge replication exact.
+        """
+        left, right = self.am.left_context, self.am.right_context
+        chunk = self.decoder_opts.chunk_frames
+        window = chunk + left + right
+        t_padded = feats.shape[1]
+        if t_padded < window:
+            feats = jnp.pad(feats, ((0, 0), (0, window - t_padded), (0, 0)))
+            t_padded = window
+        scale = self.decoder_opts.acoustic_scale
+
+        def scores_fn(lo, hi):
+            start = int(np.clip(lo - left, 0, t_padded - window))
+            sub = jax.lax.dynamic_slice_in_dim(feats, start, window, axis=1)
+            sub_scores = self.am.compute(
+                sub, acoustic_scale=scale,
+                num_frames=jnp.maximum(num_frames - start, 0))
+            return sub_scores[:, lo - start:hi - start]
+
+        return scores_fn
 
     # ------------------------------------------------------------------
     def _format(self, hyp: Hypothesis) -> Utterance:

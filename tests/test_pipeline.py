@@ -114,3 +114,18 @@ def test_empty_utterance(model_dir):
     utt = rec.process_batch([np.zeros(100, dtype=np.float32)])[0]
     assert utt.hyp == ""  # pocketkaldi.cc:180-185 empty-wave path
     assert utt.num_frames == 0
+
+
+def test_lazy_scoring_matches_full(model_dir):
+    """Chunked lazy AM scoring (long-audio path) equals full-matrix scoring."""
+    d, m = model_dir
+    rng = np.random.RandomState(23)
+    wave = synth_wave(rng, 1.2)
+    rec_full = Recognizer.load(m.conf_path)
+    rec_lazy = Recognizer.load(m.conf_path)
+    rec_lazy.lazy_scores_threshold = 1  # force the lazy path
+    a = rec_full.process_batch([wave])[0]
+    b = rec_lazy.process_batch([wave])[0]
+    assert a.hyp == b.hyp
+    assert a.loglikelihood_per_frame == pytest.approx(
+        b.loglikelihood_per_frame, rel=1e-5)
