@@ -118,12 +118,55 @@ def log(msg):
     print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
 
+LAST_GOOD = os.path.join(CACHE, "last_bench.json")
+
+
+def preflight(timeout_s: float = 600.0) -> bool:
+    """Verify the device answers a trivial program within the budget.
+
+    The tunneled TPU in this environment can wedge for long stretches; a
+    hung bench records nothing, so on preflight failure we emit the last
+    known-good result marked stale (or an explicit error record).
+    """
+    import threading
+    ok = []
+
+    def probe():
+        try:
+            import jax.numpy as jnp
+            x = jnp.ones((64, 64))
+            (x @ x).block_until_ready()
+            ok.append(True)
+        except Exception:
+            pass
+
+    th = threading.Thread(target=probe, daemon=True)
+    th.start()
+    th.join(timeout_s)
+    return bool(ok)
+
+
 def main():
     import jax
     # Persistent compile cache: the decode program is large; reuse across runs.
     jax.config.update("jax_compilation_cache_dir",
                       os.path.join(CACHE, "jaxcache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    if not preflight():
+        if os.path.exists(LAST_GOOD):
+            with open(LAST_GOOD) as fd:
+                result = json.load(fd)
+            result["stale"] = True
+            result["note"] = "device preflight failed; last good result"
+            print(json.dumps(result))
+        else:
+            print(json.dumps({
+                "metric": "audio_seconds_per_second", "value": 0.0,
+                "unit": "audio-s/s", "vs_baseline": None,
+                "error": "device preflight failed"}))
+        return
+
     from pocketkaldi_tpu import Recognizer
     from pocketkaldi_tpu.hparams import DecoderOptions
     from pocketkaldi_tpu.io import wav as wavio
@@ -168,7 +211,7 @@ def main():
         vs_baseline = None
         parity = "n/a"
 
-    print(json.dumps({
+    result = {
         "metric": "audio_seconds_per_second",
         "value": round(rate, 3),
         "unit": "audio-s/s",
@@ -179,7 +222,10 @@ def main():
         "batch_wall_s": round(elapsed, 3),
         "reference_rate": round(ref["rate"], 3) if ref else None,
         "transcript_parity": parity,
-    }))
+    }
+    with open(LAST_GOOD, "w") as fd:
+        json.dump(result, fd)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
