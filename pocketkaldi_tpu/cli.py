@@ -47,7 +47,11 @@ def main(argv=None) -> int:
             filenames = [line.strip() for line in fd if line.strip()]
 
     waves = [wav.read_16k_pcm(f) for f in filenames]
-    utts = recognizer.process_batch(waves)
+    if len(waves) > 1:
+        from .parallel.bucketing import decode_bucketed
+        utts = decode_bucketed(recognizer, waves)
+    else:
+        utts = recognizer.process_batch(waves)
     for fname, utt in zip(filenames, utts):
         print(f"{fname}\t{utt.hyp}\t{utt.loglikelihood_per_frame:f}")
     print(recognizer.timers.report(), file=sys.stderr)
