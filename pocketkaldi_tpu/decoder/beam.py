@@ -452,21 +452,26 @@ def traceback_chunk(slot: jnp.ndarray, rec: StepRecord):
     This keeps the giant (B, C, G, K) arrays on device — only the (B, C, G)
     word plane crosses to the host, which matters when the host↔device link
     is the bottleneck.
-    """
-    def per_utt(s, prev, word):           # prev/word: (C, G, K)
-        def step_t(s, xs):
-            prev_t, word_t = xs           # (G, K)
-            def step_g(s2, xs2):
-                p, w = xs2                # (K,)
-                s2c = jnp.maximum(s2, 0)
-                return p[s2c], w[s2c]
-            s, words_rev = jax.lax.scan(step_g, s,
-                                        (prev_t[::-1], word_t[::-1]))
-            return s, words_rev[::-1]     # (G,)
-        s, words_rev = jax.lax.scan(step_t, s, (prev[::-1], word[::-1]))
-        return s, words_rev[::-1]         # (C, G)
 
-    return jax.vmap(per_utt)(slot, rec.prev, rec.word)
+    Structured as ONE scan over the flattened (C·G) generation axis with a
+    batched ``take_along_axis`` per step.  The earlier form — a vmapped scan
+    of scans with per-utterance scalar gathers — silently miscompiled on
+    XLA:TPU at (B, C, G, K) = (32, 64, 2, 8192) (wrong slots/words on random
+    data; docs/PERFORMANCE.md); the flat form is also one fewer loop level.
+    """
+    b, c, g, k = rec.prev.shape
+    # (C·G, B, K), reversed in walk order (g desc within t desc).
+    prev = jnp.swapaxes(rec.prev.reshape(b, c * g, k), 0, 1)[::-1]
+    word = jnp.swapaxes(rec.word.reshape(b, c * g, k), 0, 1)[::-1]
+
+    def step(s, xs):
+        p, w = xs                         # (B, K)
+        sc = jnp.maximum(s, 0)[:, None]
+        return (jnp.take_along_axis(p, sc, axis=1)[:, 0],
+                jnp.take_along_axis(w, sc, axis=1)[:, 0])
+
+    s, words_rev = jax.lax.scan(step, slot, (prev, word))
+    return s, jnp.swapaxes(words_rev[::-1], 0, 1).reshape(b, c, g)
 
 
 @partial(jax.jit, static_argnames=("g",))

@@ -135,3 +135,40 @@ def test_dense_equals_flat_expansion():
                                     int(np.asarray(ol)[i, j])))
         outs[name] = sorted(entries)
     assert outs["dense"] == outs["flat"]
+
+
+@pytest.mark.parametrize("shape", [(3, 5, 2, 16), (8, 7, 3, 64),
+                                   (32, 9, 2, 512)])
+def test_traceback_chunk_oracle(shape):
+    """Device traceback == direct numpy walk on random records.
+
+    Regression: the original vmapped nested-scan form of traceback_chunk
+    (scalar gather per generation per utterance) silently MISCOMPILED on
+    XLA:TPU at (B, C, G, K) = (32, 64, 2, 8192) — wrong slots and words on
+    random inputs.  The flat single-scan + take_along_axis form is verified
+    here against the oracle across shapes (the failing TPU shape itself is
+    exercised by bench runs; these sizes keep CPU CI fast).
+    """
+    from pocketkaldi_tpu.decoder.beam import StepRecord, traceback_chunk
+
+    b, c, g, k = shape
+    rng = np.random.RandomState(sum(shape))
+    prev = rng.randint(0, k, size=shape).astype(np.int32)
+    word = rng.randint(0, 50, size=shape).astype(np.int32)
+    slot = rng.randint(0, k, size=(b,)).astype(np.int32)
+
+    s_dev, w_dev = traceback_chunk(jnp.asarray(slot),
+                                   StepRecord(jnp.asarray(prev),
+                                              jnp.asarray(word)))
+
+    out = np.zeros((b, c, g), np.int32)
+    end = slot.copy()
+    for i in range(b):
+        si = int(end[i])
+        for t in range(c - 1, -1, -1):
+            for gg in range(g - 1, -1, -1):
+                out[i, t, gg] = word[i, t, gg, si]
+                si = int(prev[i, t, gg, si])
+        end[i] = si
+    np.testing.assert_array_equal(np.asarray(s_dev), end)
+    np.testing.assert_array_equal(np.asarray(w_dev), out)
