@@ -179,9 +179,12 @@ def main():
 
     log(f"loading model on backend={jax.default_backend()}...")
     rec = Recognizer.load(conf_path)
-    # K=2048 exact top-K; transcripts agree with the reference's 30k sampled
-    # cutoff on this pack (checked below) at a fraction of the beam work.
-    rec.decoder_opts = DecoderOptions(max_active=2048, expand_factor=8,
+    # K=6144 exact top-K: the smallest capacity with full transcript parity
+    # vs the reference's 30k sampled cutoff on this pack (the random-weight
+    # bench model is near-degenerate, so the in-beam state count is huge; a
+    # real ASR model needs far less).  K=2048 runs ~3x faster if parity is
+    # not required.
+    rec.decoder_opts = DecoderOptions(max_active=6144, expand_factor=8,
                                       chunk_frames=64)
     rec.decoder = type(rec.decoder)(rec.fst, rec.am.tid2pdf,
                                     rec.decoder_opts)

@@ -49,7 +49,23 @@ from ..fst import Fst
 from ..hparams import DecoderOptions
 
 INT_MAX = np.iinfo(np.int32).max
-BLOCK = 8  # arcs per block; one block row = 4 fields × 8 lanes = 128 B
+BLOCK = 8  # default arcs per block (see _choose_block for the adaptive pick)
+
+
+def _choose_block(max_degree: int) -> int:
+    """Pick the arc-block width for a graph's degree profile.
+
+    Dense expansion fetches ``mb = ceil(max_degree / b)`` rows of ``b`` lanes
+    per token, so the candidate count is K·mb·b and the gather index count is
+    K·mb.  Minimize lanes first (drives score-lookup and sort sizes), then
+    blocks (drives gather indices): e.g. max degree 10 → 1×16 beats 2×8."""
+    best = None
+    for b in (8, 16, 32, 64):
+        mb = max(1, -(-max_degree // b))
+        key = (mb * b, mb)
+        if best is None or key < best[0]:
+            best = (key, b)
+    return best[1]
 
 
 class Beam(NamedTuple):
@@ -74,40 +90,51 @@ class ArcBlocks(NamedTuple):
     blk_ptr: (S+1,) int32 — block range of state s is blk_ptr[s]..blk_ptr[s+1];
              an extra all-pad row sits at index NB (the "parking" row for
              out-of-budget block slots).
-    packed:  (NB+1, 4, BLOCK) int32 — fields [next_state, pdf, olabel,
-             weight(bitcast f32)]; pad lanes have weight=+inf, next=0.
-             For the epsilon class the pdf plane is zero.
+    packed:  (NB+1, 5, BLOCK) int32 — fields [next_state, pdf, olabel,
+             olabel2, weight(bitcast f32)]; pad lanes have weight=+inf,
+             next=0.  For the epsilon class the pdf plane is zero; olabel2
+             is nonzero only on eps-folded emitting arcs whose folded eps
+             path emits two words.
     max_blocks: int — max blocks any single state owns (static; sizing bound).
     """
     blk_ptr: jnp.ndarray
     packed: jnp.ndarray
     max_blocks: int
 
+    @property
+    def block(self) -> int:
+        return int(self.packed.shape[-1])
+
 
 def _build_blocks(num_states: int, arc_src: np.ndarray, nxt: np.ndarray,
                   pdf: np.ndarray, olabel: np.ndarray,
-                  weight: np.ndarray) -> ArcBlocks:
+                  weight: np.ndarray, olabel2: np.ndarray = None,
+                  block: int = None) -> ArcBlocks:
     """Pack one arc class (arrays already sorted by source state) into blocks."""
     counts = np.bincount(arc_src, minlength=num_states) \
         if arc_src.size else np.zeros(num_states, dtype=np.int64)
-    blk_counts = -(-counts // BLOCK)                       # ceil-div
+    if block is None:
+        block = _choose_block(int(counts.max()) if counts.size else 1)
+    blk_counts = -(-counts // block)                       # ceil-div
     blk_ptr = np.zeros(num_states + 1, dtype=np.int32)
     np.cumsum(blk_counts, out=blk_ptr[1:])
     nb = int(blk_ptr[-1])
 
-    packed = np.zeros((nb + 1, 4, BLOCK), dtype=np.int32)
+    packed = np.zeros((nb + 1, 5, block), dtype=np.int32)
     inf_bits = np.float32(np.inf).view(np.int32)
-    packed[:, 3, :] = inf_bits                             # weight = +inf pad
+    packed[:, 4, :] = inf_bits                             # weight = +inf pad
     if arc_src.size:
         arc_ptr = np.zeros(num_states + 1, dtype=np.int64)
         np.cumsum(counts, out=arc_ptr[1:])
         local = np.arange(arc_src.size, dtype=np.int64) - arc_ptr[arc_src]
-        row = blk_ptr[arc_src] + (local // BLOCK)
-        col = local % BLOCK
+        row = blk_ptr[arc_src] + (local // block)
+        col = local % block
         packed[row, 0, col] = nxt
         packed[row, 1, col] = pdf
         packed[row, 2, col] = olabel
-        packed[row, 3, col] = weight.astype(np.float32).view(np.int32)
+        if olabel2 is not None:
+            packed[row, 3, col] = olabel2
+        packed[row, 4, col] = weight.astype(np.float32).view(np.int32)
     return ArcBlocks(
         blk_ptr=jnp.asarray(blk_ptr),
         packed=jnp.asarray(packed),
@@ -121,15 +148,29 @@ class GraphArrays:
 
     Emitting arcs carry a precomputed pdf id (tid2pdf applied at load —
     replaces the per-arc ``TransitionIdToPdfId`` lookup, decodable.cc:24-31).
+
+    ``folded`` — epsilon-removal applied: every emitting arc is composed
+    with the min-cost epsilon closure of its destination (extra arcs with
+    summed weights and up to two word labels), so the per-frame decode needs
+    NO epsilon sweeps.  Exact: Viterbi only ever takes the min-cost eps path
+    (any other loses at token dedup), and the closure successors appear as
+    ordinary candidates of the same frame with identical costs.  The eps
+    blocks are still used for the start-state closure (init_beam).
     """
     emit: ArcBlocks
     eps: ArcBlocks
     final: jnp.ndarray        # (S,)
     start_state: int
     eps_depth: int
+    folded: bool = False
+
+    # Folding is rejected if it would grow the emitting arc table by more
+    # than this factor (pathological closure fan-out).
+    FOLD_MAX_BLOWUP = 3.0
 
     @classmethod
-    def build(cls, fst: Fst, tid2pdf: np.ndarray) -> "GraphArrays":
+    def build(cls, fst: Fst, tid2pdf: np.ndarray,
+              fold_eps: bool = None) -> "GraphArrays":
         tid2pdf = np.asarray(tid2pdf, dtype=np.int32)
         s = fst.num_states
         src = fst.arc_source
@@ -137,17 +178,34 @@ class GraphArrays:
         is_emit = fst.ilabel != 0
         emit_idx = np.nonzero(is_emit)[0]
         eps_idx = np.nonzero(~is_emit)[0]
-        emit = _build_blocks(
-            s, src[emit_idx], fst.next_state[emit_idx],
-            tid2pdf[fst.ilabel[emit_idx]], fst.olabel[emit_idx],
-            fst.weight[emit_idx])
+        e_src = src[emit_idx]
+        e_nxt = fst.next_state[emit_idx]
+        e_pdf = tid2pdf[fst.ilabel[emit_idx]]
+        e_ol = fst.olabel[emit_idx]
+        e_w = fst.weight[emit_idx]
+        e_ol2 = None
+
+        folded = False
+        if fold_eps is None or fold_eps:
+            fold = _fold_closure(fst, e_src, e_nxt, e_pdf, e_ol, e_w,
+                                 cls.FOLD_MAX_BLOWUP)
+            if fold is not None:
+                e_src, e_nxt, e_pdf, e_ol, e_ol2, e_w = fold
+                folded = True
+            elif fold_eps:
+                raise ValueError(
+                    "fold_eps=True but the graph's epsilon closure is not "
+                    "foldable (eps cycle, >2 words on a min-cost eps path, "
+                    "or arc blowup)")
+
+        emit = _build_blocks(s, e_src, e_nxt, e_pdf, e_ol, e_w, e_ol2)
         eps = _build_blocks(
             s, src[eps_idx], fst.next_state[eps_idx],
             np.zeros(eps_idx.size, dtype=np.int32), fst.olabel[eps_idx],
             fst.weight[eps_idx])
         return cls(emit=emit, eps=eps, final=jnp.asarray(fst.final),
                    start_state=int(fst.start_state),
-                   eps_depth=int(fst.eps_depth))
+                   eps_depth=int(fst.eps_depth), folded=folded)
 
     # Make hashable-by-identity so jitted functions can close over it.
     def __hash__(self):
@@ -155,6 +213,57 @@ class GraphArrays:
 
     def __eq__(self, other):
         return self is other
+
+
+def _fold_closure(fst: Fst, e_src, e_nxt, e_pdf, e_ol, e_w, max_blowup):
+    """Compose emitting arcs with the eps closure of their destinations.
+
+    Returns (src, nxt, pdf, ol, ol2, w) folded arrays sorted by src, or None
+    when folding is infeasible (see Fst.eps_closure) or would blow up the
+    arc table by more than ``max_blowup``.
+    """
+    clo = fst.eps_closure
+    if clo is None:
+        return None
+    if clo["src"].size == 0:
+        return None if e_src.size == 0 else \
+            (e_src, e_nxt, e_pdf, e_ol, np.zeros_like(e_ol), e_w)
+
+    c_order = np.argsort(clo["src"], kind="stable")
+    c_src = clo["src"][c_order]
+    c_dst = clo["dst"][c_order]
+    c_cost = clo["cost"][c_order]
+    c_w1 = clo["w1"][c_order]
+    c_w2 = clo["w2"][c_order]
+    c_n = clo["nwords"][c_order]
+
+    lo = np.searchsorted(c_src, e_nxt, side="left")
+    hi = np.searchsorted(c_src, e_nxt, side="right")
+    cnt = hi - lo
+    total = int(cnt.sum())
+    if e_src.size and (e_src.size + total) > max_blowup * e_src.size:
+        return None
+    rep = np.repeat(np.arange(e_src.size), cnt)
+    flat = (np.repeat(lo, cnt) +
+            (np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt)))
+
+    arc_has = e_ol[rep] != 0
+    # words on the folded arc = arc word then closure words, capacity 2
+    n_total = arc_has.astype(np.int32) + c_n[flat]
+    if n_total.size and int(n_total.max()) > 2:
+        return None
+    f_ol = np.where(arc_has, e_ol[rep], c_w1[flat]).astype(np.int32)
+    f_ol2 = np.where(arc_has, c_w1[flat], c_w2[flat]).astype(np.int32)
+
+    src = np.concatenate([e_src, e_src[rep]])
+    nxt = np.concatenate([e_nxt, c_dst[flat]])
+    pdf = np.concatenate([e_pdf, e_pdf[rep]])
+    ol = np.concatenate([e_ol, f_ol])
+    ol2 = np.concatenate([np.zeros_like(e_ol), f_ol2])
+    w = np.concatenate([e_w, e_w[rep] + c_cost[flat]]).astype(np.float32)
+    order = np.argsort(src, kind="stable")
+    return (src[order], nxt[order], pdf[order], ol[order], ol2[order],
+            w[order])
 
 
 # ---------------------------------------------------------------------------
@@ -183,6 +292,43 @@ def _cumsum_mxu(x: jnp.ndarray) -> jnp.ndarray:
     return (within + carry[:, None]).reshape(k).astype(x.dtype)
 
 
+# Below this many indices a plain gather beats the one-hot matmul setup.
+SCORE_ONEHOT_MIN = 4096
+
+
+def lookup_scores(scores_t: jnp.ndarray, pdf: jnp.ndarray) -> jnp.ndarray:
+    """``scores_t[pdf]`` via factorized one-hot matmuls on the MXU.
+
+    XLA:TPU gathers cost ~13 ns *per index*; at K=8192 the per-arc pdf
+    lookup is ~2M indices per frame across the batch (measured 22.6 ms).
+    Factorizing the index as (row, col) = (pdf // 128, pdf % 128) turns the
+    lookup into a column one-hot (N, 128) matmul against the score table
+    reshaped (R, 128), followed by a row-select mask — 3.1 ms for the same
+    lookup (7.3x).  EXACT in f32: every dot product has exactly one nonzero
+    term (1.0 * score), so no rounding is introduced (hence HIGHEST
+    precision — default TPU precision truncates to bf16, max err ~1e-2).
+    Pallas equivalents measured slower (small-matmul bound) or failed to
+    compile on this toolchain; see docs/PERFORMANCE.md.
+    """
+    shape = pdf.shape
+    n = 1
+    for d in shape:
+        n *= int(d)
+    p = scores_t.shape[-1]
+    if n < SCORE_ONEHOT_MIN:
+        return scores_t[pdf]
+    c = 128
+    r = -(-p // c)
+    table = jnp.pad(scores_t, (0, r * c - p)).reshape(r, c)
+    idx = pdf.reshape(n)
+    oh_col = jax.nn.one_hot(idx % c, c, dtype=jnp.float32)
+    t1 = jnp.einsum("nc,rc->nr", oh_col, table,
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32)
+    oh_row = jax.nn.one_hot(idx // c, r, dtype=jnp.float32)
+    return jnp.sum(t1 * oh_row, axis=-1).reshape(shape)
+
+
 def expand_dense(states: jnp.ndarray, costs: jnp.ndarray,
                  slots: jnp.ndarray, blocks: ArcBlocks):
     """Dense per-token expansion: every token reads its ``max_blocks`` rows.
@@ -203,14 +349,15 @@ def expand_dense(states: jnp.ndarray, costs: jnp.ndarray,
     j = jnp.arange(mb, dtype=jnp.int32)
     blk = jnp.where(j[None, :] < cnt[:, None], start[:, None] + j[None, :],
                     nb)
-    rows = blocks.packed[blk.reshape(-1)]        # (K·mb, 4, BLOCK)
+    rows = blocks.packed[blk.reshape(-1)]        # (K·mb, 5, BLOCK)
     nxt = rows[:, 0, :]
     pdf = rows[:, 1, :]
     olabel = rows[:, 2, :]
-    weight = jax.lax.bitcast_convert_type(rows[:, 3, :], jnp.float32)
+    olabel2 = rows[:, 3, :]
+    weight = jax.lax.bitcast_convert_type(rows[:, 4, :], jnp.float32)
     tok_cost = jnp.repeat(costs, mb, total_repeat_length=k * mb)
     tok_slot = jnp.repeat(slots, mb, total_repeat_length=k * mb)
-    return nxt, pdf, olabel, weight, tok_cost, tok_slot
+    return nxt, pdf, olabel, olabel2, weight, tok_cost, tok_slot
 
 
 def expand_blocks(states: jnp.ndarray, costs: jnp.ndarray,
@@ -246,20 +393,21 @@ def expand_blocks(states: jnp.ndarray, costs: jnp.ndarray,
     valid = e < jnp.minimum(total, eb)
     blk = jnp.where(valid, blk, nb)                        # park on pad row
 
-    rows = blocks.packed[blk]                              # (EB, 4, BLOCK)
+    rows = blocks.packed[blk]                              # (EB, 5, BLOCK)
     nxt = rows[:, 0, :]
     pdf = rows[:, 1, :]
     olabel = rows[:, 2, :]
-    weight = jax.lax.bitcast_convert_type(rows[:, 3, :], jnp.float32)
+    olabel2 = rows[:, 3, :]
+    weight = jax.lax.bitcast_convert_type(rows[:, 4, :], jnp.float32)
 
     tok_cost = g_f[:, 0]                                   # (EB,)
     tok_slot = g_f[:, 1].astype(jnp.int32)                 # (EB,)
-    return nxt, pdf, olabel, weight, tok_cost, tok_slot
+    return nxt, pdf, olabel, olabel2, weight, tok_cost, tok_slot
 
 
 def select_beam(state: jnp.ndarray, cost: jnp.ndarray, prev: jnp.ndarray,
-                word: jnp.ndarray, k: int,
-                beam_width: jnp.ndarray) -> Tuple[Beam, jnp.ndarray, jnp.ndarray]:
+                word: jnp.ndarray, k: int, beam_width: jnp.ndarray,
+                word2: jnp.ndarray = None):
     """Dedup-by-state (keep min cost) + beam prune + exact top-K.
 
     Replaces HashTable insert-min (decoder.cc:99-130) with a stable
@@ -285,15 +433,18 @@ def select_beam(state: jnp.ndarray, cost: jnp.ndarray, prev: jnp.ndarray,
     new_state = jnp.where(jnp.isinf(new_cost), -1, s_state[idx])
     new_prev = prev[src]
     new_word = jnp.where(jnp.isinf(new_cost), 0, word[src])
-    return Beam(new_state, new_cost), new_prev, new_word
+    if word2 is None:
+        return Beam(new_state, new_cost), new_prev, new_word
+    new_word2 = jnp.where(jnp.isinf(new_cost), 0, word2[src])
+    return Beam(new_state, new_cost), new_prev, new_word, new_word2
 
 
 # ---------------------------------------------------------------------------
 # Frame step
 # ---------------------------------------------------------------------------
 
-def _block_budget(opts: DecoderOptions) -> int:
-    return max(1, opts.expand_budget // BLOCK)
+def _block_budget(opts: DecoderOptions, block: int) -> int:
+    return max(1, opts.expand_budget // block)
 
 
 # Dense expansion is used when K·max_blocks stays within this multiple of the
@@ -311,7 +462,7 @@ def _expand(beam: Beam, blocks: ArcBlocks, opts: DecoderOptions):
     inherently drops the worst tokens without extra sorting.
     """
     k = beam.state.shape[0]
-    eb = _block_budget(opts)
+    eb = _block_budget(opts, blocks.block)
     slots = jnp.arange(k, dtype=jnp.int32)
     if max(1, blocks.max_blocks) * k <= DENSE_BUDGET_FACTOR * eb:
         return expand_dense(beam.state, beam.cost, slots, blocks)
@@ -319,17 +470,19 @@ def _expand(beam: Beam, blocks: ArcBlocks, opts: DecoderOptions):
 
 
 def _emitting(beam: Beam, scores_t: jnp.ndarray, g: GraphArrays,
-              opts: DecoderOptions) -> Tuple[Beam, jnp.ndarray, jnp.ndarray]:
+              opts: DecoderOptions):
     """One ProcessEmitting (decoder.cc:224-301): expand non-eps arcs, score,
-    prune, dedup, select."""
+    prune, dedup, select.  Returns (beam, prev, word, word2); word2 is
+    nonzero only on eps-folded arcs carrying two words."""
     k = beam.state.shape[0]
-    nxt, pdf, olabel, weight, tok_cost, tok_slot = _expand(beam, g.emit, opts)
-    ac_cost = -scores_t[pdf]                 # (·, BLOCK) gather
+    nxt, pdf, olabel, olabel2, weight, tok_cost, tok_slot = \
+        _expand(beam, g.emit, opts)
+    ac_cost = -lookup_scores(scores_t, pdf)  # MXU one-hot (gather if small)
     cand_cost = tok_cost[:, None] + weight + ac_cost
     cand_prev = jnp.broadcast_to(tok_slot[:, None], nxt.shape)
     return select_beam(nxt.reshape(-1), cand_cost.reshape(-1),
                        cand_prev.reshape(-1), olabel.reshape(-1), k,
-                       jnp.float32(opts.beam))
+                       jnp.float32(opts.beam), word2=olabel2.reshape(-1))
 
 
 def _eps_sweep(beam: Beam, g: GraphArrays, opts: DecoderOptions,
@@ -338,7 +491,8 @@ def _eps_sweep(beam: Beam, g: GraphArrays, opts: DecoderOptions,
     decoder.cc:186-221).  Existing tokens are carried as candidates with
     identity backpointers so surviving tokens keep their history."""
     k = beam.state.shape[0]
-    nxt, _pdf, olabel, weight, tok_cost, tok_slot = _expand(beam, g.eps, opts)
+    nxt, _pdf, olabel, _ol2, weight, tok_cost, tok_slot = \
+        _expand(beam, g.eps, opts)
     cand_cost = tok_cost[:, None] + weight
     cand_prev = jnp.broadcast_to(tok_slot[:, None], nxt.shape)
 
@@ -357,20 +511,32 @@ def _identity_record(k: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
 def frame_step(beam: Beam, scores_t: jnp.ndarray, frame_valid: jnp.ndarray,
                g: GraphArrays, opts: DecoderOptions,
                num_eps_iters: int) -> Tuple[Beam, StepRecord]:
-    """Emitting pass + G epsilon sweeps for one frame; masked no-op when the
-    frame is padding (``frame_valid`` False)."""
+    """Emitting pass (+ G epsilon sweeps when the graph is not eps-folded)
+    for one frame; masked no-op when the frame is padding.
+
+    Folded graphs need no sweeps — closure successors arrive as emitting
+    candidates — and a folded arc's second word rides an identity-prev
+    second record generation, so the record format and traceback are
+    unchanged: generation 0 = (cand_prev, word1), generation 1 =
+    (identity, word2)."""
     k = beam.state.shape[0]
-    new_beam, prev0, word0 = _emitting(beam, scores_t, g, opts)
+    new_beam, prev0, word0, word2_0 = _emitting(beam, scores_t, g, opts)
 
-    def sweep(b, _):
-        nb, p, w = _eps_sweep(b, g, opts, jnp.float32(opts.beam))
-        return nb, (p, w)
+    if g.folded:
+        final_beam = new_beam
+        id_slot = jnp.arange(k, dtype=jnp.int32)
+        rec_prev = jnp.stack([prev0, id_slot])
+        rec_word = jnp.stack([word0, word2_0])
+    else:
+        def sweep(b, _):
+            nb, p, w = _eps_sweep(b, g, opts, jnp.float32(opts.beam))
+            return nb, (p, w)
 
-    final_beam, (prevs, words) = jax.lax.scan(
-        sweep, new_beam, None, length=num_eps_iters)
+        final_beam, (prevs, words) = jax.lax.scan(
+            sweep, new_beam, None, length=num_eps_iters)
 
-    rec_prev = jnp.concatenate([prev0[None], prevs], axis=0)
-    rec_word = jnp.concatenate([word0[None], words], axis=0)
+        rec_prev = jnp.concatenate([prev0[None], prevs], axis=0)
+        rec_word = jnp.concatenate([word0[None], words], axis=0)
 
     # Padding frames: keep the beam and write identity records.
     id_prev, id_word = _identity_record(k)

@@ -53,13 +53,18 @@ class ViterbiDecoder:
                  opts: DecoderOptions = DecoderOptions()):
         self.fst = fst
         self.opts = opts
-        self.graph = GraphArrays.build(fst, tid2pdf)
+        self.graph = GraphArrays.build(fst, tid2pdf,
+                                       fold_eps=opts.fold_eps)
         if opts.max_eps_iters is not None:
             self.num_eps_iters = opts.max_eps_iters
         else:
             # Bellman-Ford over the eps DAG: d sweeps finalize all shortest
             # eps-paths of ≤ d edges; d = measured longest chain (Fst.eps_depth)
             self.num_eps_iters = max(1, min(self.graph.eps_depth, 16))
+        # Folded graphs (eps closure composed into emitting arcs at build)
+        # need no per-frame sweeps; init_beam still closes over the start
+        # state with self.num_eps_iters sweeps.
+        self.frame_eps_iters = 0 if self.graph.folded else self.num_eps_iters
 
     # ------------------------------------------------------------------
     def decode(self, scores: np.ndarray,
@@ -106,7 +111,7 @@ class ViterbiDecoder:
             valid = jnp.asarray(
                 frame_idx[lo:hi][None, :] < num_frames[:, None])
             beam, recs = decode_chunk(beam, sl, valid, self.graph,
-                                      self.opts, self.num_eps_iters)
+                                      self.opts, self.frame_eps_iters)
             if offload:
                 # One-chunk lookahead: fetch chunk t-1's records while chunk
                 # t computes.

@@ -59,10 +59,13 @@ class StreamingDecoder:
                  opts: DecoderOptions = DecoderOptions(),
                  num_lanes: int = 64):
         self.opts = opts
-        self.graph = GraphArrays.build(fst, tid2pdf)
+        self.graph = GraphArrays.build(fst, tid2pdf,
+                                       fold_eps=opts.fold_eps)
         self.num_eps_iters = (opts.max_eps_iters
                               if opts.max_eps_iters is not None
                               else max(1, min(fst.eps_depth, 16)))
+        self.frame_eps_iters = (0 if self.graph.folded
+                                else self.num_eps_iters)
         self.num_lanes = num_lanes
         self._init_beam, self._init_rec = init_beam_batch(
             num_lanes, self.graph, opts, self.num_eps_iters)
@@ -98,7 +101,7 @@ class StreamingDecoder:
         valid = np.asarray(valid, dtype=bool)
         self.beam, recs = decode_chunk(self.beam, scores,
                                        jnp.asarray(valid), self.graph,
-                                       self.opts, self.num_eps_iters)
+                                       self.opts, self.frame_eps_iters)
         prev = np.asarray(recs.prev)
         word = np.asarray(recs.word)
         for i, lane in enumerate(self.lanes):

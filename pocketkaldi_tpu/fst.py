@@ -231,6 +231,98 @@ class Fst:
             depth = new
         return 64
 
+    @cached_property
+    def eps_closure(self) -> Optional[dict]:
+        """Min-cost epsilon closure: best eps-path from s to every t ≠ s.
+
+        Returns a dict of flat arrays {src, dst, cost, w1, w2, nwords} where
+        (w1, w2) are the first two word labels emitted along the min-cost
+        path (0 = none) and nwords counts them — or ``None`` when the
+        closure is unusable for arc folding: an improving epsilon cycle, a
+        min-cost path with more than two words, relaxation not converging
+        within 64 sweeps, or pair-count blowup.
+
+        Host-side numpy, computed once per graph.  Only the min-cost path
+        per (s, t) matters for Viterbi (any other eps path loses at token
+        dedup), so folding these paths into emitting arcs preserves decode
+        semantics exactly (see decoder/beam.py fold_eps).
+        """
+        is_eps = self.ilabel == 0
+        src = self.arc_source[is_eps]
+        dst = self.next_state[is_eps]
+        w = self.weight[is_eps].astype(np.float64)
+        ol = self.olabel[is_eps]
+        keep = src != dst                      # self-loops never improve
+        src, dst, w, ol = src[keep], dst[keep], w[keep], ol[keep]
+        if src.size == 0:
+            return {k: np.zeros(0, np.int32) for k in
+                    ("src", "dst", "w1", "w2", "nwords")} | \
+                {"cost": np.zeros(0, np.float32)}
+
+        max_pairs = 16 * src.size + 1024
+        order = np.argsort(src, kind="stable")
+        bsrc, bdst, bw, bol = src[order], dst[order], w[order], ol[order]
+
+        # paths: structure-of-arrays keyed by (psrc, pdst)
+        psrc, pdst, pcost = src.copy(), dst.copy(), w.copy()
+        pw1 = ol.astype(np.int32)
+        pw2 = np.zeros_like(pw1)
+        pn = (ol != 0).astype(np.int32)
+
+        def dedup(ps, pd, pc, p1, p2, pnw):
+            key = ps.astype(np.int64) * self.num_states + pd
+            o = np.lexsort((pc, key))
+            key, ps, pd, pc, p1, p2, pnw = (a[o] for a in
+                                            (key, ps, pd, pc, p1, p2, pnw))
+            first = np.concatenate([[True], key[1:] != key[:-1]])
+            return ps[first], pd[first], pc[first], p1[first], p2[first], \
+                pnw[first]
+
+        psrc, pdst, pcost, pw1, pw2, pn = dedup(psrc, pdst, pcost, pw1, pw2,
+                                                pn)
+        for _ in range(64):
+            # extend every current path by one eps arc out of its endpoint
+            lo = np.searchsorted(bsrc, pdst, side="left")
+            hi = np.searchsorted(bsrc, pdst, side="right")
+            cnt = hi - lo
+            if cnt.sum() == 0:
+                break
+            rep = np.repeat(np.arange(psrc.size), cnt)
+            flat = (np.repeat(lo, cnt) +
+                    (np.arange(rep.size) -
+                     np.repeat(np.cumsum(cnt) - cnt, cnt)))
+            esrc = psrc[rep]
+            edst = bdst[flat]
+            ecost = pcost[rep] + bw[flat]
+            eol = bol[flat]
+            has = eol != 0
+            en = pn[rep] + has.astype(np.int32)
+            ew1 = np.where((pn[rep] == 0) & has, eol, pw1[rep]).astype(np.int32)
+            ew2 = np.where((pn[rep] == 1) & has, eol, pw2[rep]).astype(np.int32)
+            keep = esrc != edst                 # closing a cycle: drop
+            esrc, edst, ecost, ew1, ew2, en = (a[keep] for a in
+                                               (esrc, edst, ecost, ew1, ew2,
+                                                en))
+            ns, nd, nc, n1, n2, nn = dedup(
+                np.concatenate([psrc, esrc]), np.concatenate([pdst, edst]),
+                np.concatenate([pcost, ecost]), np.concatenate([pw1, ew1]),
+                np.concatenate([pw2, ew2]), np.concatenate([pn, en]))
+            if nn.size > max_pairs:
+                return None
+            if (ns.size == psrc.size and np.array_equal(ns, psrc)
+                    and np.array_equal(nd, pdst)
+                    and np.allclose(nc, pcost)):
+                break
+            psrc, pdst, pcost, pw1, pw2, pn = ns, nd, nc, n1, n2, nn
+        else:
+            return None                         # no fixpoint in 64 sweeps
+
+        if pn.size and int(pn.max()) > 2:
+            return None                         # min-cost path needs >2 words
+        return {"src": psrc.astype(np.int32), "dst": pdst.astype(np.int32),
+                "cost": pcost.astype(np.float32), "w1": pw1, "w2": pw2,
+                "nwords": pn}
+
     def final_weight(self, state: int) -> float:
         return float(self.final[state])
 

@@ -83,6 +83,13 @@ class DecoderOptions:
     # and runs the traceback there, fetching only per-chunk word planes —
     # the fast path when records fit in HBM.
     offload_records: bool = False
+    # Epsilon-removal at graph build: compose each emitting arc with the
+    # min-cost eps closure of its destination so the per-frame decode needs
+    # no epsilon sweeps (the reference's ProcessNonemitting work-list,
+    # decoder.cc:186-221, disappears from the hot loop).  None = auto (fold
+    # when feasible: eps-acyclic closure, ≤2 words per min-cost path, arc
+    # blowup ≤ GraphArrays.FOLD_MAX_BLOWUP); True = require; False = never.
+    fold_eps: Optional[bool] = None
 
     @property
     def expand_budget(self) -> int:

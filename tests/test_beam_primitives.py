@@ -42,7 +42,7 @@ def test_build_blocks_roundtrip():
     seen = 0
     for s in range(12):
         rows = packed[ptr[s]:ptr[s + 1]]
-        weights = rows[:, 3, :].view(np.float32).reshape(-1)
+        weights = rows[:, 4, :].view(np.float32).reshape(-1)
         real = np.isfinite(weights)
         state_arcs = np.nonzero(srcs == s)[0]
         assert real.sum() == state_arcs.size
@@ -58,7 +58,7 @@ def test_build_blocks_roundtrip():
         seen += real.sum()
     assert seen == srcs.size
     # pad row is all-inf
-    assert np.isinf(packed[-1, 3, :].view(np.float32)).all()
+    assert np.isinf(packed[-1, 4, :].view(np.float32)).all()
 
 
 @pytest.mark.parametrize("k", [64, 256, 2048])
@@ -123,7 +123,7 @@ def test_dense_equals_flat_expansion():
                                        jnp.asarray(costs),
                                        jnp.asarray(slots), blocks, 64)),
     ]:
-        nxt, pdf, ol, w, tc, ts = fn()
+        nxt, pdf, ol, ol2, w, tc, ts = fn()
         cost = np.asarray(tc)[:, None] + np.asarray(w)
         entries = []
         for i in range(cost.shape[0]):
@@ -172,3 +172,32 @@ def test_traceback_chunk_oracle(shape):
         end[i] = si
     np.testing.assert_array_equal(np.asarray(s_dev), end)
     np.testing.assert_array_equal(np.asarray(w_dev), out)
+
+
+@pytest.mark.parametrize("n,p", [(64, 33), (512, 128), (6000, 3448),
+                                 (16384, 257)])
+def test_lookup_scores_exact(n, p):
+    """MXU one-hot score lookup is bit-exact vs a plain gather."""
+    from pocketkaldi_tpu.decoder.beam import lookup_scores
+
+    rng = np.random.RandomState(n + p)
+    scores = rng.randn(p).astype(np.float32)
+    pdf = rng.randint(0, p, size=(n // 8, 8)).astype(np.int32)
+    got = np.asarray(lookup_scores(jnp.asarray(scores), jnp.asarray(pdf)))
+    np.testing.assert_array_equal(got, scores[pdf])
+
+
+def test_lookup_scores_batched():
+    """vmapped lookup matches per-row gathers (decoder usage pattern)."""
+    import jax
+    from pocketkaldi_tpu.decoder.beam import lookup_scores
+
+    rng = np.random.RandomState(11)
+    b, n, p = 4, 8192, 301
+    scores = rng.randn(b, p).astype(np.float32)
+    pdf = rng.randint(0, p, size=(b, n // 8, 8)).astype(np.int32)
+    got = np.asarray(jax.vmap(lookup_scores)(jnp.asarray(scores),
+                                             jnp.asarray(pdf)))
+    want = np.take_along_axis(scores, pdf.reshape(b, -1),
+                              axis=1).reshape(pdf.shape)
+    np.testing.assert_array_equal(got, want)

@@ -6,6 +6,8 @@ so on small graphs the device decoder must reproduce its exact 1-best words
 and cost whenever the beam capacity covers all states.
 """
 
+import dataclasses
+
 import numpy as np
 import pytest
 
@@ -166,3 +168,75 @@ def test_offload_mode_matches_device_mode():
     for a, b in zip(dev, off):
         assert a.words == b.words
         assert a.total_cost == pytest.approx(b.total_cost, rel=1e-6)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_fold_matches_sweeps(seed):
+    """Eps-folded decode == per-frame-sweep decode on random graphs."""
+    rng = np.random.RandomState(800 + seed)
+    fst = make_decoding_graph(rng, 30, 48, 12)
+    tid2pdf = (np.arange(49) % 16).astype(np.int32)
+    scores = (rng.randn(2, 9, 16) * 2).astype(np.float32)
+
+    base = DecoderOptions(max_active=64, expand_factor=16, chunk_frames=4)
+    try:
+        folded = ViterbiDecoder(fst, tid2pdf,
+                                dataclasses.replace(base, fold_eps=True))
+    except ValueError:
+        # random graph drew a >2-word min-cost eps chain — unfoldable by
+        # design; auto mode must then fall back to sweeps
+        auto = ViterbiDecoder(fst, tid2pdf, base)
+        assert not auto.graph.folded
+        pytest.skip("graph legitimately unfoldable")
+    swept = ViterbiDecoder(fst, tid2pdf,
+                           dataclasses.replace(base, fold_eps=False))
+    assert folded.graph.folded and not swept.graph.folded
+    hf = folded.decode(scores)
+    hs = swept.decode(scores)
+    for a, b in zip(hf, hs):
+        assert a.words == b.words
+        assert a.total_cost == pytest.approx(b.total_cost, abs=1e-4)
+
+
+def test_fold_two_word_eps_path():
+    """A folded arc carrying two words must emit both, in order."""
+    # 0 --tid1/pdf0:w0--> 1 --eps:w5--> 2 --eps:w6--> 3(final)
+    fst = Fst.from_arcs(
+        num_states=4, start_state=0,
+        arcs=[
+            (0, 1, 1, 0, 0.5),
+            (1, 2, 0, 5, 0.25),
+            (2, 3, 0, 6, 0.125),
+        ],
+        finals={3: 0.0})
+    tid2pdf = np.array([0, 0], dtype=np.int32)
+    scores = np.array([[1.0]], dtype=np.float32)   # one frame, pdf 0
+    for fold in (True, False):
+        dec = ViterbiDecoder(
+            fst, tid2pdf,
+            DecoderOptions(max_active=8, expand_factor=4, chunk_frames=2,
+                           fold_eps=fold))
+        assert dec.graph.folded is fold
+        hyp = dec.decode(scores[None])[0]
+        assert hyp.words == [5, 6], f"fold={fold}"
+        assert hyp.total_cost == pytest.approx(0.5 - 1.0 + 0.25 + 0.125,
+                                               abs=1e-5)
+
+
+def test_fold_infeasible_three_words_falls_back():
+    """Min-cost eps path with 3 words → auto mode falls back to sweeps."""
+    arcs = [(0, 1, 1, 0, 0.5)]
+    arcs += [(1 + i, 2 + i, 0, 7 + i, 0.1) for i in range(3)]  # 3 word-eps
+    fst = Fst.from_arcs(5, 0, arcs, finals={4: 0.0})
+    tid2pdf = np.array([0, 0], dtype=np.int32)
+    auto = ViterbiDecoder(fst, tid2pdf,
+                          DecoderOptions(max_active=8, expand_factor=4,
+                                         chunk_frames=2))
+    assert not auto.graph.folded
+    with pytest.raises(ValueError):
+        ViterbiDecoder(fst, tid2pdf,
+                       DecoderOptions(max_active=8, expand_factor=4,
+                                      chunk_frames=2, fold_eps=True))
+    scores = np.array([[1.0]], dtype=np.float32)
+    hyp = auto.decode(scores[None])[0]
+    assert hyp.words == [7, 8, 9]
