@@ -90,11 +90,15 @@ class ArcBlocks(NamedTuple):
     blk_ptr: (S+1,) int32 — block range of state s is blk_ptr[s]..blk_ptr[s+1];
              an extra all-pad row sits at index NB (the "parking" row for
              out-of-budget block slots).
-    packed:  (NB+1, 5, BLOCK) int32 — fields [next_state, pdf, olabel,
-             olabel2, weight(bitcast f32)]; pad lanes have weight=+inf,
-             next=0.  For the epsilon class the pdf plane is zero; olabel2
-             is nonzero only on eps-folded emitting arcs whose folded eps
-             path emits two words.
+    packed:  (NB+1, 5·BLOCK) int32 — per row, five BLOCK-wide planes
+             [next_state, pdf, olabel, olabel2, weight(bitcast f32)] stored
+             FLAT: plane p occupies columns p·BLOCK..(p+1)·BLOCK.  Flat rows
+             matter: an XLA:TPU gather of (NB, 5·B) rows runs ~6x faster than
+             the same bytes as (NB, 5, B) slices (measured 2.8 ms vs 16.7 ms
+             for 196k row fetches — docs/PERFORMANCE.md).  Pad lanes have
+             weight=+inf, next=0.  For the epsilon class the pdf plane is
+             zero; olabel2 is nonzero only on eps-folded emitting arcs whose
+             folded eps path emits two words.
     max_blocks: int — max blocks any single state owns (static; sizing bound).
     """
     blk_ptr: jnp.ndarray
@@ -103,7 +107,7 @@ class ArcBlocks(NamedTuple):
 
     @property
     def block(self) -> int:
-        return int(self.packed.shape[-1])
+        return int(self.packed.shape[-1]) // 5
 
 
 def _build_blocks(num_states: int, arc_src: np.ndarray, nxt: np.ndarray,
@@ -137,7 +141,7 @@ def _build_blocks(num_states: int, arc_src: np.ndarray, nxt: np.ndarray,
         packed[row, 4, col] = weight.astype(np.float32).view(np.int32)
     return ArcBlocks(
         blk_ptr=jnp.asarray(blk_ptr),
-        packed=jnp.asarray(packed),
+        packed=jnp.asarray(packed.reshape(nb + 1, 5 * block)),
         max_blocks=int(blk_counts.max()) if num_states else 0,
     )
 
@@ -329,34 +333,43 @@ def lookup_scores(scores_t: jnp.ndarray, pdf: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(t1 * oh_row, axis=-1).reshape(shape)
 
 
+def _split_planes(rows: jnp.ndarray, block: int):
+    """Flat (…, 5·BLOCK) rows → (nxt, pdf, olabel, olabel2, weight)."""
+    nxt = rows[..., 0 * block:1 * block]
+    pdf = rows[..., 1 * block:2 * block]
+    olabel = rows[..., 2 * block:3 * block]
+    olabel2 = rows[..., 3 * block:4 * block]
+    weight = jax.lax.bitcast_convert_type(rows[..., 4 * block:5 * block],
+                                          jnp.float32)
+    return nxt, pdf, olabel, olabel2, weight
+
+
 def expand_dense(states: jnp.ndarray, costs: jnp.ndarray,
                  slots: jnp.ndarray, blocks: ArcBlocks):
     """Dense per-token expansion: every token reads its ``max_blocks`` rows.
 
     blk[k, j] = blk_ptr[state_k] + j (parked on the pad row past the state's
-    count), so the only data-dependent op is ONE row gather of K·max_blocks
-    indices — no prefix sums, no searchsorted, no per-candidate token
-    gathers (searchsorted alone costs ~8 ms at this scale on TPU).  Used
-    when ``max_blocks`` is small; graphs with high-degree states fall back
-    to the flat path below.
+    count), so the only data-dependent op is ONE flat row gather of
+    K·max_blocks indices — no prefix sums, no searchsorted, no per-candidate
+    token gathers (searchsorted alone costs ~8 ms at this scale on TPU).
+    Used when ``max_blocks`` is small; graphs with high-degree states fall
+    back to the flat path below.  Batch-agnostic: states/costs/slots may
+    carry leading batch dims; outputs are (…, K·mb, BLOCK) / (…, K·mb).
     """
-    k = states.shape[0]
+    k = states.shape[-1]
     mb = max(1, blocks.max_blocks)
     nb = blocks.packed.shape[0] - 1
+    width = blocks.packed.shape[-1]
     safe = jnp.maximum(states, 0)
     start = blocks.blk_ptr[safe]
     cnt = jnp.where(states < 0, 0, blocks.blk_ptr[safe + 1] - start)
     j = jnp.arange(mb, dtype=jnp.int32)
-    blk = jnp.where(j[None, :] < cnt[:, None], start[:, None] + j[None, :],
-                    nb)
-    rows = blocks.packed[blk.reshape(-1)]        # (K·mb, 5, BLOCK)
-    nxt = rows[:, 0, :]
-    pdf = rows[:, 1, :]
-    olabel = rows[:, 2, :]
-    olabel2 = rows[:, 3, :]
-    weight = jax.lax.bitcast_convert_type(rows[:, 4, :], jnp.float32)
-    tok_cost = jnp.repeat(costs, mb, total_repeat_length=k * mb)
-    tok_slot = jnp.repeat(slots, mb, total_repeat_length=k * mb)
+    blk = jnp.where(j < cnt[..., None], start[..., None] + j, nb)
+    rows = blocks.packed[blk.reshape(-1)]        # (∏lead·K·mb, 5·BLOCK)
+    rows = rows.reshape(states.shape[:-1] + (k * mb, width))
+    nxt, pdf, olabel, olabel2, weight = _split_planes(rows, blocks.block)
+    tok_cost = jnp.repeat(costs, mb, axis=-1, total_repeat_length=k * mb)
+    tok_slot = jnp.repeat(slots, mb, axis=-1, total_repeat_length=k * mb)
     return nxt, pdf, olabel, olabel2, weight, tok_cost, tok_slot
 
 
@@ -393,16 +406,36 @@ def expand_blocks(states: jnp.ndarray, costs: jnp.ndarray,
     valid = e < jnp.minimum(total, eb)
     blk = jnp.where(valid, blk, nb)                        # park on pad row
 
-    rows = blocks.packed[blk]                              # (EB, 5, BLOCK)
-    nxt = rows[:, 0, :]
-    pdf = rows[:, 1, :]
-    olabel = rows[:, 2, :]
-    olabel2 = rows[:, 3, :]
-    weight = jax.lax.bitcast_convert_type(rows[:, 4, :], jnp.float32)
+    rows = blocks.packed[blk]                              # (EB, 5·BLOCK)
+    nxt, pdf, olabel, olabel2, weight = _split_planes(rows, blocks.block)
 
     tok_cost = g_f[:, 0]                                   # (EB,)
     tok_slot = g_f[:, 1].astype(jnp.int32)                 # (EB,)
     return nxt, pdf, olabel, olabel2, weight, tok_cost, tok_slot
+
+
+def _first_of_run(s_state: jnp.ndarray) -> jnp.ndarray:
+    lead = s_state.shape[:-1]
+    return jnp.concatenate(
+        [jnp.ones(lead + (1,), bool), s_state[..., 1:] != s_state[..., :-1]],
+        axis=-1)
+
+
+def _dedup_select(state_key, cost, payloads, k):
+    """Exact dedup-by-state keep-min + top-K, payloads riding the sorts.
+
+    sortA by (state, cost) stable → first-of-run mask kills duplicate states
+    (keeping the min-cost / earliest occurrence) → sortB by cost stable →
+    slice K.  No per-index gathers: payload operands move through the sort
+    network vectorized, which beats the gather-afterwards formulation ~2x at
+    bench scale (docs/PERFORMANCE.md).
+    """
+    s = jax.lax.sort((state_key, cost) + payloads, num_keys=2,
+                     is_stable=True)
+    s_state, s_cost = s[0], s[1]
+    s_cost = jnp.where(_first_of_run(s_state), s_cost, jnp.inf)
+    o = jax.lax.sort((s_cost, s_state) + s[2:], num_keys=1, is_stable=True)
+    return tuple(a[..., :k] for a in o)
 
 
 def select_beam(state: jnp.ndarray, cost: jnp.ndarray, prev: jnp.ndarray,
@@ -410,32 +443,66 @@ def select_beam(state: jnp.ndarray, cost: jnp.ndarray, prev: jnp.ndarray,
                 word2: jnp.ndarray = None):
     """Dedup-by-state (keep min cost) + beam prune + exact top-K.
 
-    Replaces HashTable insert-min (decoder.cc:99-130) with a stable
-    lexicographic sort on (state, cost) and a first-of-run mask, and the
-    sampled cutoff (decoder.cc:132-182) with an exact top-K.  The stable sort
-    preserves the reference's keep-existing-on-tie semantics when callers
-    order existing tokens before new candidates.  Sort payload is a single
-    index array; prev/word gather through it afterwards (K-sized gathers).
+    Replaces HashTable insert-min (decoder.cc:99-130) with sort-based
+    dedup (stable (state, cost) sort + first-of-run mask) and the sampled
+    cutoff (decoder.cc:132-182) with an exact top-K.  Stability preserves the
+    reference's keep-existing-on-tie semantics when callers order existing
+    tokens before new candidates.  Batch-agnostic: all arrays may carry
+    leading batch dims (sorts run along the last axis).
+
+    Fast path (N > 4K): ONE cost sort of N with payloads riding, then dedup
+    only the first M=2K candidates — exact whenever the prefix holds ≥ K
+    distinct states (scanning cost-ascending, each new distinct state is the
+    next-best unique token, so ≥ K distinct states in the prefix ⇒ the true
+    top-K deduped beam is inside it) or the prefix holds every finite
+    candidate.  The guard is checked on device; a ``lax.cond`` falls back to
+    the full-N dedup when it fails (early frames / tiny beams).  NOTE: the
+    cond is a real branch only when NOT vmapped — callers batch via leading
+    axes, never ``jax.vmap``, or the fallback runs every frame.
     """
-    n = state.shape[0]
-    best = jnp.min(cost)
+    n = state.shape[-1]
+    best = jnp.min(cost, axis=-1, keepdims=True)
     cost = jnp.where(cost <= best + beam_width, cost, jnp.inf)
     state_key = jnp.where(jnp.isinf(cost), INT_MAX, state)
-    iota = jnp.arange(n, dtype=jnp.int32)
-    s_state, s_cost, s_idx = jax.lax.sort(
-        (state_key, cost, iota), num_keys=2, is_stable=True)
-    first = jnp.concatenate(
-        [jnp.ones((1,), bool), s_state[1:] != s_state[:-1]])
-    s_cost = jnp.where(first, s_cost, jnp.inf)
-    neg_top, idx = jax.lax.top_k(-s_cost, k)
-    new_cost = -neg_top
-    src = s_idx[idx]
-    new_state = jnp.where(jnp.isinf(new_cost), -1, s_state[idx])
-    new_prev = prev[src]
-    new_word = jnp.where(jnp.isinf(new_cost), 0, word[src])
+    payloads = (prev, word) if word2 is None else (prev, word, word2)
+
+    m = 2 * k
+    if n <= 2 * m:
+        out = _dedup_select(state_key, cost, payloads, k)
+    else:
+        o = jax.lax.sort((cost, state_key) + payloads, num_keys=1,
+                         is_stable=True)
+        finite_total = jnp.sum(jnp.isfinite(o[0][..., :m + 1]), axis=-1)
+        pre = tuple(a[..., :m] for a in o)
+        q = jax.lax.sort((pre[1], pre[0]) + pre[2:], num_keys=2,
+                         is_stable=True)
+        uniq = _first_of_run(q[0]) & jnp.isfinite(q[1])
+        u = jnp.sum(uniq, axis=-1)
+        # exact if the prefix holds ≥ K distinct states, or holds every
+        # finite candidate (finite_total counted over m+1 detects overflow)
+        exact = jnp.all((u >= k) | (finite_total <= m))
+
+        def prefix_path(_):
+            qc = jnp.where(uniq, q[1], jnp.inf)
+            r = jax.lax.sort((qc, q[0]) + q[2:], num_keys=1, is_stable=True)
+            return tuple(a[..., :k] for a in r)
+
+        def full_path(_):
+            # o is cost-sorted but _dedup_select re-sorts by (state, cost);
+            # stability keeps cost-ascending order within each state run, so
+            # first-of-run still selects the per-state min.
+            return _dedup_select(o[1], o[0], o[2:], k)
+
+        out = jax.lax.cond(exact, prefix_path, full_path, None)
+
+    new_cost, new_state = out[0], out[1]
+    dead = jnp.isinf(new_cost)
+    new_state = jnp.where(dead, -1, new_state)
+    new_prev = out[2]
+    new_word = jnp.where(dead, 0, out[3])
     if word2 is None:
         return Beam(new_state, new_cost), new_prev, new_word
-    new_word2 = jnp.where(jnp.isinf(new_cost), 0, word2[src])
+    new_word2 = jnp.where(dead, 0, out[4])
     return Beam(new_state, new_cost), new_prev, new_word, new_word2
 
 
@@ -458,31 +525,45 @@ def _expand(beam: Beam, blocks: ArcBlocks, opts: DecoderOptions):
     Dense (per-token ``max_blocks`` rows, no prefix sums / searchsorted — the
     searchsorted alone costs ~8 ms at K=2048 on TPU) wins whenever per-state
     degree is modest; high-degree graphs use the flat budgeted path.  The
-    beam is always cost-ascending (top_k output), so flat-path truncation
-    inherently drops the worst tokens without extra sorting.
+    beam is always cost-ascending (select_beam output), so flat-path
+    truncation inherently drops the worst tokens without extra sorting.
+    Batched (leading dims on beam leaves) or per-lane.
     """
-    k = beam.state.shape[0]
+    k = beam.state.shape[-1]
     eb = _block_budget(opts, blocks.block)
-    slots = jnp.arange(k, dtype=jnp.int32)
+    slots = jnp.broadcast_to(jnp.arange(k, dtype=jnp.int32),
+                             beam.state.shape)
     if max(1, blocks.max_blocks) * k <= DENSE_BUDGET_FACTOR * eb:
         return expand_dense(beam.state, beam.cost, slots, blocks)
-    return expand_blocks(beam.state, beam.cost, slots, blocks, eb)
+    fn = lambda s, c, sl: expand_blocks(s, c, sl, blocks, eb)
+    for _ in range(beam.state.ndim - 1):
+        fn = jax.vmap(fn)
+    return fn(beam.state, beam.cost, slots)
+
+
+def _flat2(a: jnp.ndarray) -> jnp.ndarray:
+    """Merge the trailing (rows, BLOCK) candidate dims into one axis."""
+    return a.reshape(a.shape[:-2] + (-1,))
 
 
 def _emitting(beam: Beam, scores_t: jnp.ndarray, g: GraphArrays,
               opts: DecoderOptions):
     """One ProcessEmitting (decoder.cc:224-301): expand non-eps arcs, score,
     prune, dedup, select.  Returns (beam, prev, word, word2); word2 is
-    nonzero only on eps-folded arcs carrying two words."""
-    k = beam.state.shape[0]
+    nonzero only on eps-folded arcs carrying two words.  Batched: beam
+    leaves (B, K), scores_t (B, P)."""
+    k = beam.state.shape[-1]
     nxt, pdf, olabel, olabel2, weight, tok_cost, tok_slot = \
         _expand(beam, g.emit, opts)
-    ac_cost = -lookup_scores(scores_t, pdf)  # MXU one-hot (gather if small)
-    cand_cost = tok_cost[:, None] + weight + ac_cost
-    cand_prev = jnp.broadcast_to(tok_slot[:, None], nxt.shape)
-    return select_beam(nxt.reshape(-1), cand_cost.reshape(-1),
-                       cand_prev.reshape(-1), olabel.reshape(-1), k,
-                       jnp.float32(opts.beam), word2=olabel2.reshape(-1))
+    score_fn = lookup_scores
+    for _ in range(beam.state.ndim - 1):
+        score_fn = jax.vmap(score_fn)
+    ac_cost = -score_fn(scores_t, pdf)  # MXU one-hot (gather if small)
+    cand_cost = tok_cost[..., None] + weight + ac_cost
+    cand_prev = jnp.broadcast_to(tok_slot[..., None], nxt.shape)
+    return select_beam(_flat2(nxt), _flat2(cand_cost), _flat2(cand_prev),
+                       _flat2(olabel), k, jnp.float32(opts.beam),
+                       word2=_flat2(olabel2))
 
 
 def _eps_sweep(beam: Beam, g: GraphArrays, opts: DecoderOptions,
@@ -490,22 +571,25 @@ def _eps_sweep(beam: Beam, g: GraphArrays, opts: DecoderOptions,
     """One epsilon relaxation sweep (work-list DFS → data-parallel sweep,
     decoder.cc:186-221).  Existing tokens are carried as candidates with
     identity backpointers so surviving tokens keep their history."""
-    k = beam.state.shape[0]
+    k = beam.state.shape[-1]
     nxt, _pdf, olabel, _ol2, weight, tok_cost, tok_slot = \
         _expand(beam, g.eps, opts)
-    cand_cost = tok_cost[:, None] + weight
-    cand_prev = jnp.broadcast_to(tok_slot[:, None], nxt.shape)
+    cand_cost = tok_cost[..., None] + weight
+    cand_prev = jnp.broadcast_to(tok_slot[..., None], nxt.shape)
 
-    keep_slot = jnp.arange(k, dtype=jnp.int32)
-    all_state = jnp.concatenate([beam.state, nxt.reshape(-1)])
-    all_cost = jnp.concatenate([beam.cost, cand_cost.reshape(-1)])
-    all_prev = jnp.concatenate([keep_slot, cand_prev.reshape(-1)])
-    all_word = jnp.concatenate([jnp.zeros(k, jnp.int32), olabel.reshape(-1)])
+    keep_slot = jnp.broadcast_to(jnp.arange(k, dtype=jnp.int32),
+                                 beam.state.shape)
+    all_state = jnp.concatenate([beam.state, _flat2(nxt)], axis=-1)
+    all_cost = jnp.concatenate([beam.cost, _flat2(cand_cost)], axis=-1)
+    all_prev = jnp.concatenate([keep_slot, _flat2(cand_prev)], axis=-1)
+    all_word = jnp.concatenate(
+        [jnp.zeros(beam.state.shape, jnp.int32), _flat2(olabel)], axis=-1)
     return select_beam(all_state, all_cost, all_prev, all_word, k, beam_width)
 
 
-def _identity_record(k: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    return jnp.arange(k, dtype=jnp.int32), jnp.zeros(k, jnp.int32)
+def _identity_record(shape) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    return (jnp.broadcast_to(jnp.arange(shape[-1], dtype=jnp.int32), shape),
+            jnp.zeros(shape, jnp.int32))
 
 
 def frame_step(beam: Beam, scores_t: jnp.ndarray, frame_valid: jnp.ndarray,
@@ -514,40 +598,47 @@ def frame_step(beam: Beam, scores_t: jnp.ndarray, frame_valid: jnp.ndarray,
     """Emitting pass (+ G epsilon sweeps when the graph is not eps-folded)
     for one frame; masked no-op when the frame is padding.
 
+    BATCHED: beam leaves (B, K), scores_t (B, P), frame_valid (B,); records
+    come back (B, gens, K).  The batch rides leading axes rather than
+    ``jax.vmap`` so select_beam's exactness guard stays a real branch
+    (vmapped ``lax.cond`` lowers to select and runs both sides).
+
     Folded graphs need no sweeps — closure successors arrive as emitting
     candidates — and a folded arc's second word rides an identity-prev
     second record generation, so the record format and traceback are
     unchanged: generation 0 = (cand_prev, word1), generation 1 =
     (identity, word2)."""
-    k = beam.state.shape[0]
+    b, k = beam.state.shape
     new_beam, prev0, word0, word2_0 = _emitting(beam, scores_t, g, opts)
 
     if g.folded:
         final_beam = new_beam
-        id_slot = jnp.arange(k, dtype=jnp.int32)
-        rec_prev = jnp.stack([prev0, id_slot])
-        rec_word = jnp.stack([word0, word2_0])
+        id_slot = jnp.broadcast_to(jnp.arange(k, dtype=jnp.int32), (b, k))
+        rec_prev = jnp.stack([prev0, id_slot], axis=1)       # (B, 2, K)
+        rec_word = jnp.stack([word0, word2_0], axis=1)
     else:
-        def sweep(b, _):
-            nb, p, w = _eps_sweep(b, g, opts, jnp.float32(opts.beam))
+        def sweep(bm, _):
+            nb, p, w = _eps_sweep(bm, g, opts, jnp.float32(opts.beam))
             return nb, (p, w)
 
         final_beam, (prevs, words) = jax.lax.scan(
-            sweep, new_beam, None, length=num_eps_iters)
+            sweep, new_beam, None, length=num_eps_iters)   # (G, B, K)
 
-        rec_prev = jnp.concatenate([prev0[None], prevs], axis=0)
-        rec_word = jnp.concatenate([word0[None], words], axis=0)
+        rec_prev = jnp.concatenate(
+            [prev0[:, None], jnp.swapaxes(prevs, 0, 1)], axis=1)
+        rec_word = jnp.concatenate(
+            [word0[:, None], jnp.swapaxes(words, 0, 1)], axis=1)
 
     # Padding frames: keep the beam and write identity records.
-    id_prev, id_word = _identity_record(k)
-    id_prev = jnp.broadcast_to(id_prev, rec_prev.shape)
-    id_word = jnp.broadcast_to(id_word, rec_word.shape)
+    id_prev, id_word = _identity_record(rec_prev.shape)
+    v = frame_valid[:, None]
+    vr = frame_valid[:, None, None]
     out_beam = Beam(
-        jnp.where(frame_valid, final_beam.state, beam.state),
-        jnp.where(frame_valid, final_beam.cost, beam.cost))
+        jnp.where(v, final_beam.state, beam.state),
+        jnp.where(v, final_beam.cost, beam.cost))
     rec = StepRecord(
-        jnp.where(frame_valid, rec_prev, id_prev),
-        jnp.where(frame_valid, rec_word, id_word))
+        jnp.where(vr, rec_prev, id_prev),
+        jnp.where(vr, rec_word, id_word))
     return out_beam, rec
 
 
@@ -555,12 +646,14 @@ def frame_step(beam: Beam, scores_t: jnp.ndarray, frame_valid: jnp.ndarray,
 # Init / chunk drivers (single utterance; batch via vmap in decoder.py)
 # ---------------------------------------------------------------------------
 
-def init_beam(g: GraphArrays, opts: DecoderOptions,
+def init_beam(batch: int, g: GraphArrays, opts: DecoderOptions,
               num_eps_iters: int) -> Tuple[Beam, StepRecord]:
-    """InitDecoding (decoder.cc:79-97): start token + eps closure w/o cutoff."""
+    """InitDecoding (decoder.cc:79-97): start token + eps closure w/o cutoff.
+
+    Batched: returns beam leaves (B, K), records (B, G0, K)."""
     k = opts.max_active
-    state = jnp.full((k,), -1, jnp.int32).at[0].set(g.start_state)
-    cost = jnp.full((k,), jnp.inf, jnp.float32).at[0].set(0.0)
+    state = jnp.full((batch, k), -1, jnp.int32).at[:, 0].set(g.start_state)
+    cost = jnp.full((batch, k), jnp.inf, jnp.float32).at[:, 0].set(0.0)
     beam = Beam(state, cost)
 
     def sweep(b, _):
@@ -569,14 +662,15 @@ def init_beam(g: GraphArrays, opts: DecoderOptions,
 
     beam, (prevs, words) = jax.lax.scan(sweep, beam, None,
                                         length=num_eps_iters)
-    return beam, StepRecord(prevs, words)
+    return beam, StepRecord(jnp.swapaxes(prevs, 0, 1),
+                            jnp.swapaxes(words, 0, 1))
 
 
 @partial(jax.jit, static_argnames=("g", "opts", "num_eps_iters"))
 def decode_chunk(beam: Beam, scores: jnp.ndarray, frame_valid: jnp.ndarray,
                  g: GraphArrays, opts: DecoderOptions,
                  num_eps_iters: int) -> Tuple[Beam, StepRecord]:
-    """Scan ``frame_step`` over a chunk.
+    """Scan the batched ``frame_step`` over a chunk.
 
     beam:        pytree with leading batch axis B on each leaf
     scores:      (B, C, P) acoustic-scaled log-likelihoods
@@ -585,10 +679,7 @@ def decode_chunk(beam: Beam, scores: jnp.ndarray, frame_valid: jnp.ndarray,
     """
     def body(b, xs):
         s_t, v_t = xs
-        step = partial(frame_step, g=g, opts=opts,
-                       num_eps_iters=num_eps_iters)
-        nb, rec = jax.vmap(step)(b, s_t, v_t)
-        return nb, rec
+        return frame_step(b, s_t, v_t, g, opts, num_eps_iters)
 
     xs = (jnp.swapaxes(scores, 0, 1), jnp.swapaxes(frame_valid, 0, 1))
     new_beam, recs = jax.lax.scan(body, beam, xs)
@@ -600,9 +691,7 @@ def decode_chunk(beam: Beam, scores: jnp.ndarray, frame_valid: jnp.ndarray,
 @partial(jax.jit, static_argnames=("batch", "g", "opts", "num_eps_iters"))
 def init_beam_batch(batch: int, g: GraphArrays, opts: DecoderOptions,
                     num_eps_iters: int) -> Tuple[Beam, StepRecord]:
-    def one(_):
-        return init_beam(g, opts, num_eps_iters)
-    return jax.vmap(one)(jnp.arange(batch))
+    return init_beam(batch, g, opts, num_eps_iters)
 
 
 @jax.jit

@@ -119,19 +119,15 @@ class ShardedPipeline:
         dec = partial(frame_step, g=self.graph, opts=self.decoder_opts,
                       num_eps_iters=self.num_eps_iters)
 
-        def init_one(_):
-            return init_beam(self.graph, self.decoder_opts,
-                             self.num_eps_iters)
-
-        beam, init_rec = jax.vmap(init_one)(jnp.arange(b))
+        beam, init_rec = init_beam(b, self.graph, self.decoder_opts,
+                                   self.num_eps_iters)
 
         frame_idx = jnp.arange(num_frames_padded)
         valid = frame_idx[None, :] < num_frames[:, None]
 
         def body(bm, xs):
             s_t, v_t = xs
-            nb, rec = jax.vmap(dec)(bm, s_t, v_t)
-            return nb, rec
+            return dec(bm, s_t, v_t)
 
         beam, recs = jax.lax.scan(
             body, beam, (jnp.swapaxes(scores, 0, 1), valid.T))

@@ -37,7 +37,8 @@ def test_build_blocks_roundtrip():
     rng = np.random.RandomState(90)
     blocks, (srcs, nxt, pdf, ol, w) = random_blocks(rng, 12)
     ptr = np.asarray(blocks.blk_ptr)
-    packed = np.asarray(blocks.packed)
+    # packed rows are stored flat (NB+1, 5·BLOCK); view as planes here
+    packed = np.asarray(blocks.packed).reshape(-1, 5, blocks.block)
     # every real arc appears exactly once in its state's block range
     seen = 0
     for s in range(12):
