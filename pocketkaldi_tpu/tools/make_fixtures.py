@@ -80,34 +80,50 @@ def make_decoding_graph(rng: np.random.RandomState, num_states: int,
 
 def make_bench_graph(rng: np.random.RandomState, num_states: int,
                      num_tids: int, num_words: int,
-                     emit_arcs_per_state: int = 4) -> Fst:
+                     emit_arcs_per_state: int = 4,
+                     weight_spread: float = 0.0,
+                     word_on_emit: float = 0.0) -> Fst:
     """Vectorized large HCLG-shaped graph for benchmarking.
 
     Structure: per state, ``emit_arcs_per_state`` random emitting arcs plus a
     self-loop (HCLG phone self-loops); every 4th state gets one epsilon arc to
     its successor, 70% of which emit a word — by construction epsilon chains
     have depth 1, like a well-optimized HCLG's short eps runs.
+
+    weight_spread > 0 draws arc weights from an exponential with that mean
+    (real HCLG weights carry LM costs with long tails — uniform weights make
+    every path equally plausible, which is maximally adversarial for beam
+    pruning and unrepresentative of speech); 0 keeps uniform [0, 2).
+    word_on_emit sets the fraction of emitting arcs carrying a word label
+    (real HCLGs emit words on arcs, not only on epsilons).
     """
     s = num_states
     k = emit_arcs_per_state
+
+    def w_draw(n, mean=2.0):
+        if weight_spread > 0:
+            return rng.exponential(weight_spread * mean / 2.0, size=n)
+        return rng.rand(n) * mean
+
     src_emit = np.repeat(np.arange(s, dtype=np.int64), k)
     dst_emit = rng.randint(0, s, size=s * k)
     il_emit = rng.randint(1, num_tids + 1, size=s * k)
-    ol_emit = np.zeros(s * k, dtype=np.int64)
-    w_emit = rng.rand(s * k) * 2.0
+    ol_emit = np.where(rng.rand(s * k) < word_on_emit,
+                       rng.randint(1, num_words, size=s * k), 0)
+    w_emit = w_draw(s * k)
 
     src_loop = np.arange(s, dtype=np.int64)
     dst_loop = src_loop.copy()
     il_loop = rng.randint(1, num_tids + 1, size=s)
     ol_loop = np.zeros(s, dtype=np.int64)
-    w_loop = rng.rand(s) * 2.0
+    w_loop = w_draw(s, 1.0)
 
     eps_src = np.arange(0, s - 1, 4, dtype=np.int64)
     eps_dst = eps_src + 1
     eps_il = np.zeros(eps_src.size, dtype=np.int64)
     eps_ol = np.where(rng.rand(eps_src.size) < 0.7,
                       rng.randint(1, num_words, size=eps_src.size), 0)
-    eps_w = rng.rand(eps_src.size)
+    eps_w = w_draw(eps_src.size, 1.0)
 
     src = np.concatenate([src_emit, src_loop, eps_src])
     dst = np.concatenate([dst_emit, dst_loop, eps_dst])
@@ -187,7 +203,9 @@ def write_bench_model(outdir: str, seed: int = 0, feat_dim: int = 40,
                       left: int = 5, right: int = 5, hidden: int = 1024,
                       num_hidden_layers: int = 3, num_pdfs: int = 3448,
                       num_tids: int = 10000, num_states: int = 100_000,
-                      num_words: int = 8000) -> FixtureModel:
+                      num_words: int = 8000, peakiness: float = 0.0,
+                      weight_spread: float = 0.0,
+                      word_on_emit: float = 0.0) -> FixtureModel:
     """Bench-scale model pack: nnet2-era AM + large synthetic HCLG.
 
     Dimensions mirror a typical mobile nnet2 recipe (splice ±5 of 40-dim
@@ -195,6 +213,12 @@ def write_bench_model(outdir: str, seed: int = 0, feat_dim: int = 40,
     a six-figure-state decoding graph.  Written in the reference's formats so
     the same pack drives both this framework and the compiled reference
     binary for baseline measurement.
+
+    ``peakiness`` scales the output layer's weights, sharpening the softmax:
+    real acoustic models produce LOW-entropy posteriors on speech, while unit
+    -scale random weights produce near-uniform ones — a degenerate workload
+    where every decoding path stays in-beam.  ``weight_spread`` /
+    ``word_on_emit`` structure the graph (see make_bench_graph).
     """
     os.makedirs(outdir, exist_ok=True)
     rng = np.random.RandomState(seed)
@@ -210,9 +234,10 @@ def write_bench_model(outdir: str, seed: int = 0, feat_dim: int = 40,
         layers.append(binary.LayerSpec(kind=binary.LAYER_RELU))
         layers.append(binary.LayerSpec(kind=binary.LAYER_NORMALIZE))
         dim = hidden
+    out_scale = (peakiness if peakiness > 0 else 1.0) / np.sqrt(dim)
     layers.append(binary.LayerSpec(
         kind=binary.LAYER_LINEAR,
-        weight=(rng.randn(num_pdfs, dim) / np.sqrt(dim)).astype(np.float32),
+        weight=(rng.randn(num_pdfs, dim) * out_scale).astype(np.float32),
         bias=(rng.randn(num_pdfs) * 0.1).astype(np.float32)))
     layers.append(binary.LayerSpec(kind=binary.LAYER_SOFTMAX))
     binary.write_nnet_file(os.path.join(outdir, "model.nnet"),
@@ -232,7 +257,9 @@ def write_bench_model(outdir: str, seed: int = 0, feat_dim: int = 40,
         [count]]).astype(np.float32)
     binary.write_vector_file(os.path.join(outdir, "model.cmvn"), stats)
 
-    graph = make_bench_graph(rng, num_states, num_tids, num_words)
+    graph = make_bench_graph(rng, num_states, num_tids, num_words,
+                             weight_spread=weight_spread,
+                             word_on_emit=word_on_emit)
     graph.write(os.path.join(outdir, "model.fst"))
 
     words = ["<eps>"] + [f"w{i:05d}" for i in range(1, num_words)]
@@ -241,6 +268,9 @@ def write_bench_model(outdir: str, seed: int = 0, feat_dim: int = 40,
     conf_path = os.path.join(outdir, "model.conf")
     with open(conf_path, "w") as fd:
         fd.write("# pocketkaldi_tpu bench model pack\n")
+        fd.write(f"# pack: seed={seed} peakiness={peakiness} "
+                 f"weight_spread={weight_spread} "
+                 f"word_on_emit={word_on_emit}\n")
         fd.write("nnet = model.nnet\nprior = model.prior\n")
         fd.write("tid2pdf = model.tid2pdf\ncmvn_stats = model.cmvn\n")
         fd.write("fst = model.fst\nsymbol_table = model.words\n")
