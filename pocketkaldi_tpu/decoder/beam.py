@@ -90,30 +90,40 @@ class ArcBlocks(NamedTuple):
     blk_ptr: (S+1,) int32 — block range of state s is blk_ptr[s]..blk_ptr[s+1];
              an extra all-pad row sits at index NB (the "parking" row for
              out-of-budget block slots).
-    packed:  (NB+1, 5·BLOCK) int32 — per row, five BLOCK-wide planes
-             [next_state, pdf, olabel, olabel2, weight(bitcast f32)] stored
-             FLAT: plane p occupies columns p·BLOCK..(p+1)·BLOCK.  Flat rows
-             matter: an XLA:TPU gather of (NB, 5·B) rows runs ~6x faster than
-             the same bytes as (NB, 5, B) slices (measured 2.8 ms vs 16.7 ms
-             for 196k row fetches — docs/PERFORMANCE.md).  Pad lanes have
-             weight=+inf, next=0.  For the epsilon class the pdf plane is
-             zero; olabel2 is nonzero only on eps-folded emitting arcs whose
-             folded eps path emits two words.
+    packed:  (NB+1, P·BLOCK) int32 — per row, P BLOCK-wide planes stored
+             FLAT: plane p occupies columns p·BLOCK..(p+1)·BLOCK.  Plane
+             order is [next_state, pdf?, olabel, olabel2?, weight(bitcast
+             f32)]: the pdf plane exists only for emitting arcs (has_pdf)
+             and olabel2 only for eps-folded emitting arcs whose folded eps
+             path can emit two words (has_ol2) — so eps rows carry 3 planes,
+             plain emitting rows 4, folded emitting rows 5.  Skipping
+             structurally-zero planes cuts row-gather bandwidth 20–40%.
+             Flat rows matter: an XLA:TPU gather of (NB, P·B) rows runs ~6x
+             faster than the same bytes as (NB, P, B) slices (measured 2.8 ms
+             vs 16.7 ms for 196k row fetches — docs/PERFORMANCE.md).  Pad
+             lanes have weight=+inf, next=0.
     max_blocks: int — max blocks any single state owns (static; sizing bound).
     """
     blk_ptr: jnp.ndarray
     packed: jnp.ndarray
     max_blocks: int
+    has_pdf: bool = True
+    has_ol2: bool = False
+
+    @property
+    def num_planes(self) -> int:
+        # [next, olabel, weight] always; + pdf and/or olabel2
+        return 3 + int(self.has_pdf) + int(self.has_ol2)
 
     @property
     def block(self) -> int:
-        return int(self.packed.shape[-1]) // 5
+        return int(self.packed.shape[-1]) // self.num_planes
 
 
 def _build_blocks(num_states: int, arc_src: np.ndarray, nxt: np.ndarray,
                   pdf: np.ndarray, olabel: np.ndarray,
                   weight: np.ndarray, olabel2: np.ndarray = None,
-                  block: int = None) -> ArcBlocks:
+                  block: int = None, with_pdf: bool = True) -> ArcBlocks:
     """Pack one arc class (arrays already sorted by source state) into blocks."""
     counts = np.bincount(arc_src, minlength=num_states) \
         if arc_src.size else np.zeros(num_states, dtype=np.int64)
@@ -124,25 +134,27 @@ def _build_blocks(num_states: int, arc_src: np.ndarray, nxt: np.ndarray,
     np.cumsum(blk_counts, out=blk_ptr[1:])
     nb = int(blk_ptr[-1])
 
-    packed = np.zeros((nb + 1, 5, block), dtype=np.int32)
+    planes = [nxt] + ([pdf] if with_pdf else []) + [olabel] + \
+        ([olabel2] if olabel2 is not None else [])
+    num_planes = len(planes) + 1                           # + weight plane
+    packed = np.zeros((nb + 1, num_planes, block), dtype=np.int32)
     inf_bits = np.float32(np.inf).view(np.int32)
-    packed[:, 4, :] = inf_bits                             # weight = +inf pad
+    packed[:, -1, :] = inf_bits                            # weight = +inf pad
     if arc_src.size:
         arc_ptr = np.zeros(num_states + 1, dtype=np.int64)
         np.cumsum(counts, out=arc_ptr[1:])
         local = np.arange(arc_src.size, dtype=np.int64) - arc_ptr[arc_src]
         row = blk_ptr[arc_src] + (local // block)
         col = local % block
-        packed[row, 0, col] = nxt
-        packed[row, 1, col] = pdf
-        packed[row, 2, col] = olabel
-        if olabel2 is not None:
-            packed[row, 3, col] = olabel2
-        packed[row, 4, col] = weight.astype(np.float32).view(np.int32)
+        for p, vals in enumerate(planes):
+            packed[row, p, col] = vals
+        packed[row, -1, col] = weight.astype(np.float32).view(np.int32)
     return ArcBlocks(
         blk_ptr=jnp.asarray(blk_ptr),
-        packed=jnp.asarray(packed.reshape(nb + 1, 5 * block)),
+        packed=jnp.asarray(packed.reshape(nb + 1, num_planes * block)),
         max_blocks=int(blk_counts.max()) if num_states else 0,
+        has_pdf=with_pdf,
+        has_ol2=olabel2 is not None,
     )
 
 
@@ -156,10 +168,17 @@ class GraphArrays:
     ``folded`` — epsilon-removal applied: every emitting arc is composed
     with the min-cost epsilon closure of its destination (extra arcs with
     summed weights and up to two word labels), so the per-frame decode needs
-    NO epsilon sweeps.  Exact: Viterbi only ever takes the min-cost eps path
-    (any other loses at token dedup), and the closure successors appear as
-    ordinary candidates of the same frame with identical costs.  The eps
-    blocks are still used for the start-state closure (init_beam).
+    NO epsilon sweeps.  Equivalence is exact on the candidate set: Viterbi
+    only ever takes the min-cost eps path (any other loses at token dedup),
+    and the closure successors appear as ordinary candidates of the same
+    frame with identical costs.  Under a tight ``max_active`` the folded
+    single select prunes over a LARGER candidate pool (emitting destinations
+    plus all closure successors at once) than the swept two-stage select, so
+    capacity-limited pruning order — hence the 1-best at capacity — may
+    differ between the two paths; this is the same approximation class as
+    beam pruning itself, and disappears whenever K covers the in-beam
+    states.  The eps blocks are still used for the start-state closure
+    (init_beam).
     """
     emit: ArcBlocks
     eps: ArcBlocks
@@ -167,6 +186,16 @@ class GraphArrays:
     start_state: int
     eps_depth: int
     folded: bool = False
+    # True when eps_depth is a converged longest-chain measurement (the eps
+    # sub-graph is chain-bounded); False means the measurement hit its cap —
+    # an eps cycle or a pathologically deep chain (Fst.eps_depth_bounded).
+    eps_bounded: bool = True
+    # Extension sweeps Fst.eps_closure needed to reach its fixpoint (only
+    # meaningful when folded): every min-cost eps path has ≤ closure_sweeps+1
+    # edges, so closure_sweeps+1 relaxation sweeps close ANY token set —
+    # init_beam's start-state closure uses this even when eps_depth is
+    # unbounded (cyclic graphs; cycles never improve a nonnegative closure).
+    closure_sweeps: int = 0
 
     # Folding is rejected if it would grow the emitting arc table by more
     # than this factor (pathological closure fan-out).
@@ -204,12 +233,14 @@ class GraphArrays:
 
         emit = _build_blocks(s, e_src, e_nxt, e_pdf, e_ol, e_w, e_ol2)
         eps = _build_blocks(
-            s, src[eps_idx], fst.next_state[eps_idx],
-            np.zeros(eps_idx.size, dtype=np.int32), fst.olabel[eps_idx],
-            fst.weight[eps_idx])
+            s, src[eps_idx], fst.next_state[eps_idx], None,
+            fst.olabel[eps_idx], fst.weight[eps_idx], with_pdf=False)
+        closure_sweeps = int(fst.eps_closure["sweeps"]) if folded else 0
         return cls(emit=emit, eps=eps, final=jnp.asarray(fst.final),
                    start_state=int(fst.start_state),
-                   eps_depth=int(fst.eps_depth), folded=folded)
+                   eps_depth=int(fst.eps_depth), folded=folded,
+                   eps_bounded=bool(fst.eps_depth_bounded),
+                   closure_sweeps=closure_sweeps)
 
     # Make hashable-by-identity so jitted functions can close over it.
     def __hash__(self):
@@ -217,6 +248,39 @@ class GraphArrays:
 
     def __eq__(self, other):
         return self is other
+
+
+def resolve_eps_iters(graph: GraphArrays,
+                      opts: DecoderOptions) -> Tuple[int, int]:
+    """Epsilon-sweep counts: (init-closure sweeps, per-frame sweeps).
+
+    Replaces the reference's run-to-fixpoint work-list (decoder.cc:186-221)
+    with an exact static bound — and refuses, loudly, when no bound exists:
+
+      * explicit ``opts.max_eps_iters`` — caller's responsibility;
+      * folded graph — 0 per-frame sweeps; the init closure needs
+        ``closure_sweeps + 1`` relaxation sweeps (every min-cost eps path
+        has that many edges at most, even on cyclic graphs);
+      * chain-bounded graph — ``eps_depth`` sweeps finalize all shortest
+        eps paths of ≤ depth edges (Bellman-Ford over the eps DAG);
+      * otherwise (eps cycle / unmeasurably deep chain, unfolded) —
+        a hard load-time error.  Silently clamping here decodes WRONG on
+        graphs deeper than the clamp.
+    """
+    if opts.max_eps_iters is not None:
+        n = opts.max_eps_iters
+        return n, (0 if graph.folded else n)
+    if graph.folded:
+        return max(1, graph.closure_sweeps + 1), 0
+    if not graph.eps_bounded:
+        from ..errors import PkRuntimeError
+        raise PkRuntimeError(
+            "the decoding graph's epsilon sub-graph has a cycle or an "
+            "unmeasurably deep chain, and epsilon folding is off/"
+            "infeasible: no sweep count is provably sufficient. Set "
+            "DecoderOptions.max_eps_iters explicitly (unsafe) or enable "
+            "fold_eps.")
+    return max(1, graph.eps_depth), max(1, graph.eps_depth)
 
 
 def _fold_closure(fst: Fst, e_src, e_nxt, e_pdf, e_ol, e_w, max_blowup):
@@ -333,14 +397,26 @@ def lookup_scores(scores_t: jnp.ndarray, pdf: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(t1 * oh_row, axis=-1).reshape(shape)
 
 
-def _split_planes(rows: jnp.ndarray, block: int):
-    """Flat (…, 5·BLOCK) rows → (nxt, pdf, olabel, olabel2, weight)."""
-    nxt = rows[..., 0 * block:1 * block]
-    pdf = rows[..., 1 * block:2 * block]
-    olabel = rows[..., 2 * block:3 * block]
-    olabel2 = rows[..., 3 * block:4 * block]
-    weight = jax.lax.bitcast_convert_type(rows[..., 4 * block:5 * block],
-                                          jnp.float32)
+def _split_planes(rows: jnp.ndarray, blocks: ArcBlocks):
+    """Flat (…, P·BLOCK) rows → (nxt, pdf, olabel, olabel2, weight).
+
+    pdf / olabel2 are ``None`` when the arc class doesn't carry that plane
+    (eps rows have no pdf; only folded emitting rows have olabel2)."""
+    block = blocks.block
+
+    def plane(p):
+        return rows[..., p * block:(p + 1) * block]
+
+    nxt = plane(0)
+    p = 1
+    pdf = None
+    if blocks.has_pdf:
+        pdf, p = plane(p), p + 1
+    olabel, p = plane(p), p + 1
+    olabel2 = None
+    if blocks.has_ol2:
+        olabel2, p = plane(p), p + 1
+    weight = jax.lax.bitcast_convert_type(plane(p), jnp.float32)
     return nxt, pdf, olabel, olabel2, weight
 
 
@@ -355,6 +431,8 @@ def expand_dense(states: jnp.ndarray, costs: jnp.ndarray,
     Used when ``max_blocks`` is small; graphs with high-degree states fall
     back to the flat path below.  Batch-agnostic: states/costs/slots may
     carry leading batch dims; outputs are (…, K·mb, BLOCK) / (…, K·mb).
+    Dense expansion covers every arc of every token by construction, so the
+    overflow flag it returns is constant-False.
     """
     k = states.shape[-1]
     mb = max(1, blocks.max_blocks)
@@ -365,12 +443,13 @@ def expand_dense(states: jnp.ndarray, costs: jnp.ndarray,
     cnt = jnp.where(states < 0, 0, blocks.blk_ptr[safe + 1] - start)
     j = jnp.arange(mb, dtype=jnp.int32)
     blk = jnp.where(j < cnt[..., None], start[..., None] + j, nb)
-    rows = blocks.packed[blk.reshape(-1)]        # (∏lead·K·mb, 5·BLOCK)
+    rows = blocks.packed[blk.reshape(-1)]        # (∏lead·K·mb, P·BLOCK)
     rows = rows.reshape(states.shape[:-1] + (k * mb, width))
-    nxt, pdf, olabel, olabel2, weight = _split_planes(rows, blocks.block)
+    nxt, pdf, olabel, olabel2, weight = _split_planes(rows, blocks)
     tok_cost = jnp.repeat(costs, mb, axis=-1, total_repeat_length=k * mb)
     tok_slot = jnp.repeat(slots, mb, axis=-1, total_repeat_length=k * mb)
-    return nxt, pdf, olabel, olabel2, weight, tok_cost, tok_slot
+    overflow = jnp.zeros(states.shape[:-1], bool)
+    return nxt, pdf, olabel, olabel2, weight, tok_cost, tok_slot, overflow
 
 
 def expand_blocks(states: jnp.ndarray, costs: jnp.ndarray,
@@ -379,10 +458,14 @@ def expand_blocks(states: jnp.ndarray, costs: jnp.ndarray,
 
     states/costs/slots: (K,) token arrays (slots = backpointer slot ids).
     eb: static block budget.  Returns (next, pdf, olabel, weight, cand_cost
-    base prep) pieces as (EB, BLOCK) arrays plus per-candidate token info.
+    base prep) pieces as (EB, BLOCK) arrays plus per-candidate token info
+    and an ``overflow`` bool scalar.
 
     If the true block total exceeds ``eb`` the *last* tokens lose arcs —
-    callers order tokens best-first when overflow is possible.
+    callers order tokens best-first when overflow is possible — and
+    ``overflow`` comes back True so the truncation is never silent (the
+    dedup path's exactness is device-guarded; this guards expansion the
+    same way).
     """
     k = states.shape[0]
     nb = blocks.packed.shape[0] - 1          # index of the all-pad row
@@ -406,12 +489,12 @@ def expand_blocks(states: jnp.ndarray, costs: jnp.ndarray,
     valid = e < jnp.minimum(total, eb)
     blk = jnp.where(valid, blk, nb)                        # park on pad row
 
-    rows = blocks.packed[blk]                              # (EB, 5·BLOCK)
-    nxt, pdf, olabel, olabel2, weight = _split_planes(rows, blocks.block)
+    rows = blocks.packed[blk]                              # (EB, P·BLOCK)
+    nxt, pdf, olabel, olabel2, weight = _split_planes(rows, blocks)
 
     tok_cost = g_f[:, 0]                                   # (EB,)
     tok_slot = g_f[:, 1].astype(jnp.int32)                 # (EB,)
-    return nxt, pdf, olabel, olabel2, weight, tok_cost, tok_slot
+    return nxt, pdf, olabel, olabel2, weight, tok_cost, tok_slot, total > eb
 
 
 def _first_of_run(s_state: jnp.ndarray) -> jnp.ndarray:
@@ -479,7 +562,14 @@ def select_beam(state: jnp.ndarray, cost: jnp.ndarray, prev: jnp.ndarray,
         uniq = _first_of_run(q[0]) & jnp.isfinite(q[1])
         u = jnp.sum(uniq, axis=-1)
         # exact if the prefix holds ≥ K distinct states, or holds every
-        # finite candidate (finite_total counted over m+1 detects overflow)
+        # finite candidate (finite_total counted over m+1 detects overflow).
+        # NOTE jnp.all couples the whole batch: lax.cond needs a scalar
+        # predicate, so ONE lane failing the guard sends EVERY lane through
+        # the full-N dedup for this frame — correct, but a whole-batch perf
+        # cliff on frames where any lane's beam is still tiny.  Mask-merging
+        # per-lane results would decouple lanes at the cost of running both
+        # paths every frame; profiles show the fallback fires only on the
+        # first few frames, so the scalar guard wins.
         exact = jnp.all((u >= k) | (finite_total <= m))
 
         def prefix_path(_):
@@ -549,11 +639,12 @@ def _flat2(a: jnp.ndarray) -> jnp.ndarray:
 def _emitting(beam: Beam, scores_t: jnp.ndarray, g: GraphArrays,
               opts: DecoderOptions):
     """One ProcessEmitting (decoder.cc:224-301): expand non-eps arcs, score,
-    prune, dedup, select.  Returns (beam, prev, word, word2); word2 is
-    nonzero only on eps-folded arcs carrying two words.  Batched: beam
-    leaves (B, K), scores_t (B, P)."""
+    prune, dedup, select.  Returns (beam, prev, word, word2, overflow);
+    word2 is None unless the graph is eps-folded (only folded arcs can carry
+    two words — unfolded graphs skip the extra sort payload entirely).
+    Batched: beam leaves (B, K), scores_t (B, P)."""
     k = beam.state.shape[-1]
-    nxt, pdf, olabel, olabel2, weight, tok_cost, tok_slot = \
+    nxt, pdf, olabel, olabel2, weight, tok_cost, tok_slot, overflow = \
         _expand(beam, g.emit, opts)
     score_fn = lookup_scores
     for _ in range(beam.state.ndim - 1):
@@ -561,18 +652,25 @@ def _emitting(beam: Beam, scores_t: jnp.ndarray, g: GraphArrays,
     ac_cost = -score_fn(scores_t, pdf)  # MXU one-hot (gather if small)
     cand_cost = tok_cost[..., None] + weight + ac_cost
     cand_prev = jnp.broadcast_to(tok_slot[..., None], nxt.shape)
-    return select_beam(_flat2(nxt), _flat2(cand_cost), _flat2(cand_prev),
-                       _flat2(olabel), k, jnp.float32(opts.beam),
-                       word2=_flat2(olabel2))
+    word2 = None if olabel2 is None else _flat2(olabel2)
+    out = select_beam(_flat2(nxt), _flat2(cand_cost), _flat2(cand_prev),
+                      _flat2(olabel), k, jnp.float32(opts.beam),
+                      word2=word2)
+    if word2 is None:
+        new_beam, prev, word = out
+        return new_beam, prev, word, None, overflow
+    new_beam, prev, word, w2 = out
+    return new_beam, prev, word, w2, overflow
 
 
 def _eps_sweep(beam: Beam, g: GraphArrays, opts: DecoderOptions,
-               beam_width) -> Tuple[Beam, jnp.ndarray, jnp.ndarray]:
+               beam_width):
     """One epsilon relaxation sweep (work-list DFS → data-parallel sweep,
     decoder.cc:186-221).  Existing tokens are carried as candidates with
-    identity backpointers so surviving tokens keep their history."""
+    identity backpointers so surviving tokens keep their history.
+    Returns (beam, prev, word, overflow)."""
     k = beam.state.shape[-1]
-    nxt, _pdf, olabel, _ol2, weight, tok_cost, tok_slot = \
+    nxt, _pdf, olabel, _ol2, weight, tok_cost, tok_slot, overflow = \
         _expand(beam, g.eps, opts)
     cand_cost = tok_cost[..., None] + weight
     cand_prev = jnp.broadcast_to(tok_slot[..., None], nxt.shape)
@@ -584,7 +682,9 @@ def _eps_sweep(beam: Beam, g: GraphArrays, opts: DecoderOptions,
     all_prev = jnp.concatenate([keep_slot, _flat2(cand_prev)], axis=-1)
     all_word = jnp.concatenate(
         [jnp.zeros(beam.state.shape, jnp.int32), _flat2(olabel)], axis=-1)
-    return select_beam(all_state, all_cost, all_prev, all_word, k, beam_width)
+    new_beam, prev, word = select_beam(all_state, all_cost, all_prev,
+                                       all_word, k, beam_width)
+    return new_beam, prev, word, overflow
 
 
 def _identity_record(shape) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -594,7 +694,7 @@ def _identity_record(shape) -> Tuple[jnp.ndarray, jnp.ndarray]:
 
 def frame_step(beam: Beam, scores_t: jnp.ndarray, frame_valid: jnp.ndarray,
                g: GraphArrays, opts: DecoderOptions,
-               num_eps_iters: int) -> Tuple[Beam, StepRecord]:
+               num_eps_iters: int) -> Tuple[Beam, StepRecord, jnp.ndarray]:
     """Emitting pass (+ G epsilon sweeps when the graph is not eps-folded)
     for one frame; masked no-op when the frame is padding.
 
@@ -607,22 +707,30 @@ def frame_step(beam: Beam, scores_t: jnp.ndarray, frame_valid: jnp.ndarray,
     candidates — and a folded arc's second word rides an identity-prev
     second record generation, so the record format and traceback are
     unchanged: generation 0 = (cand_prev, word1), generation 1 =
-    (identity, word2)."""
+    (identity, word2).
+
+    Returns (beam, records, overflow) — overflow (B,) True when this frame's
+    arc expansion exceeded the block budget and dropped arcs (surface it;
+    never silent — VERDICT r1 #5)."""
     b, k = beam.state.shape
-    new_beam, prev0, word0, word2_0 = _emitting(beam, scores_t, g, opts)
+    new_beam, prev0, word0, word2_0, ov_emit = _emitting(beam, scores_t,
+                                                         g, opts)
 
     if g.folded:
         final_beam = new_beam
+        overflow = ov_emit
         id_slot = jnp.broadcast_to(jnp.arange(k, dtype=jnp.int32), (b, k))
         rec_prev = jnp.stack([prev0, id_slot], axis=1)       # (B, 2, K)
+        word2_0 = jnp.zeros_like(word0) if word2_0 is None else word2_0
         rec_word = jnp.stack([word0, word2_0], axis=1)
     else:
         def sweep(bm, _):
-            nb, p, w = _eps_sweep(bm, g, opts, jnp.float32(opts.beam))
-            return nb, (p, w)
+            nb, p, w, ov = _eps_sweep(bm, g, opts, jnp.float32(opts.beam))
+            return nb, (p, w, ov)
 
-        final_beam, (prevs, words) = jax.lax.scan(
+        final_beam, (prevs, words, ovs) = jax.lax.scan(
             sweep, new_beam, None, length=num_eps_iters)   # (G, B, K)
+        overflow = ov_emit | jnp.any(ovs, axis=0)
 
         rec_prev = jnp.concatenate(
             [prev0[:, None], jnp.swapaxes(prevs, 0, 1)], axis=1)
@@ -639,7 +747,7 @@ def frame_step(beam: Beam, scores_t: jnp.ndarray, frame_valid: jnp.ndarray,
     rec = StepRecord(
         jnp.where(vr, rec_prev, id_prev),
         jnp.where(vr, rec_word, id_word))
-    return out_beam, rec
+    return out_beam, rec, overflow & frame_valid
 
 
 # ---------------------------------------------------------------------------
@@ -657,7 +765,7 @@ def init_beam(batch: int, g: GraphArrays, opts: DecoderOptions,
     beam = Beam(state, cost)
 
     def sweep(b, _):
-        nb, p, w = _eps_sweep(b, g, opts, jnp.float32(jnp.inf))
+        nb, p, w, _ov = _eps_sweep(b, g, opts, jnp.float32(jnp.inf))
         return nb, (p, w)
 
     beam, (prevs, words) = jax.lax.scan(sweep, beam, None,
@@ -669,23 +777,25 @@ def init_beam(batch: int, g: GraphArrays, opts: DecoderOptions,
 @partial(jax.jit, static_argnames=("g", "opts", "num_eps_iters"))
 def decode_chunk(beam: Beam, scores: jnp.ndarray, frame_valid: jnp.ndarray,
                  g: GraphArrays, opts: DecoderOptions,
-                 num_eps_iters: int) -> Tuple[Beam, StepRecord]:
+                 num_eps_iters: int):
     """Scan the batched ``frame_step`` over a chunk.
 
     beam:        pytree with leading batch axis B on each leaf
     scores:      (B, C, P) acoustic-scaled log-likelihoods
     frame_valid: (B, C) bool
-    returns (new beam, records with shape (B, C, 1+G, K)).
+    returns (new beam, records with shape (B, C, 1+G, K),
+             overflow (B, C) bool — frames whose arc expansion dropped arcs).
     """
     def body(b, xs):
         s_t, v_t = xs
-        return frame_step(b, s_t, v_t, g, opts, num_eps_iters)
+        b2, rec, ov = frame_step(b, s_t, v_t, g, opts, num_eps_iters)
+        return b2, (rec, ov)
 
     xs = (jnp.swapaxes(scores, 0, 1), jnp.swapaxes(frame_valid, 0, 1))
-    new_beam, recs = jax.lax.scan(body, beam, xs)
+    new_beam, (recs, ovs) = jax.lax.scan(body, beam, xs)
     recs = StepRecord(jnp.swapaxes(recs.prev, 0, 1),
                       jnp.swapaxes(recs.word, 0, 1))
-    return new_beam, recs
+    return new_beam, recs, jnp.swapaxes(ovs, 0, 1)
 
 
 @partial(jax.jit, static_argnames=("batch", "g", "opts", "num_eps_iters"))

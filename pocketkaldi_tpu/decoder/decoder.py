@@ -30,7 +30,7 @@ import numpy as np
 from ..fst import Fst
 from ..hparams import DecoderOptions
 from .beam import (Beam, GraphArrays, best_final, decode_chunk,
-                   init_beam_batch, traceback_chunk)
+                   init_beam_batch, resolve_eps_iters, traceback_chunk)
 
 
 @dataclasses.dataclass
@@ -55,16 +55,13 @@ class ViterbiDecoder:
         self.opts = opts
         self.graph = GraphArrays.build(fst, tid2pdf,
                                        fold_eps=opts.fold_eps)
-        if opts.max_eps_iters is not None:
-            self.num_eps_iters = opts.max_eps_iters
-        else:
-            # Bellman-Ford over the eps DAG: d sweeps finalize all shortest
-            # eps-paths of ≤ d edges; d = measured longest chain (Fst.eps_depth)
-            self.num_eps_iters = max(1, min(self.graph.eps_depth, 16))
-        # Folded graphs (eps closure composed into emitting arcs at build)
-        # need no per-frame sweeps; init_beam still closes over the start
-        # state with self.num_eps_iters sweeps.
-        self.frame_eps_iters = 0 if self.graph.folded else self.num_eps_iters
+        # Exact sweep bounds, or a load-time error for graphs with no
+        # provable bound (never a silent clamp) — see resolve_eps_iters.
+        self.num_eps_iters, self.frame_eps_iters = resolve_eps_iters(
+            self.graph, opts)
+        # (B,) per-utterance count of frames whose arc expansion overflowed
+        # the block budget on the most recent decode() (0 = exact).
+        self.last_overflow_frames: Optional[np.ndarray] = None
 
     # ------------------------------------------------------------------
     def decode(self, scores: np.ndarray,
@@ -104,14 +101,16 @@ class ViterbiDecoder:
         offload = self.opts.offload_records
         host_recs = []      # offload mode: [(prev, word) numpy]
         device_recs = []    # device mode: [StepRecord on device]
+        ov_counts = []      # per-chunk (B,) overflow-frame counts (device)
         pending = None
         for lo in range(0, t, chunk):
             hi = min(lo + chunk, t)
             sl = jnp.asarray(scores_fn(lo, hi))
             valid = jnp.asarray(
                 frame_idx[lo:hi][None, :] < num_frames[:, None])
-            beam, recs = decode_chunk(beam, sl, valid, self.graph,
-                                      self.opts, self.frame_eps_iters)
+            beam, recs, ov = decode_chunk(beam, sl, valid, self.graph,
+                                          self.opts, self.frame_eps_iters)
+            ov_counts.append(jnp.sum(ov, axis=-1))
             if offload:
                 # One-chunk lookahead: fetch chunk t-1's records while chunk
                 # t computes.
@@ -129,6 +128,21 @@ class ViterbiDecoder:
         slot_np = np.asarray(slot)
         total = np.asarray(total)
         fin = np.asarray(fin)
+
+        # Surface arc-expansion overflow (dropped arcs degrade accuracy; the
+        # fix is a larger DecoderOptions.expand_factor).  Never silent.
+        self.last_overflow_frames = np.asarray(
+            sum(ov_counts[1:], ov_counts[0])) if ov_counts else \
+            np.zeros(b, np.int32)
+        if self.last_overflow_frames.any():
+            from ..utils import logging as pk_logging
+            n_utts = int((self.last_overflow_frames > 0).sum())
+            pk_logging.warn(
+                "arc-expansion budget overflow on %d/%d utterances (%d "
+                "frames total): arcs were dropped; raise "
+                "DecoderOptions.expand_factor (current budget %d blocks)",
+                n_utts, b, int(self.last_overflow_frames.sum()),
+                self.opts.expand_budget)
 
         if offload or not device_recs:
             all_words = self._traceback_offload(slot_np, host_recs, init_rec,

@@ -25,7 +25,8 @@ import numpy as np
 
 from ..fst import Fst
 from ..hparams import DecoderOptions
-from .beam import Beam, GraphArrays, best_final, decode_chunk, init_beam_batch
+from .beam import (Beam, GraphArrays, best_final, decode_chunk,
+                   init_beam_batch, resolve_eps_iters)
 from .decoder import Hypothesis, _traceback
 
 
@@ -41,6 +42,7 @@ def _reset_lanes(beam: Beam, init: Beam, mask: jnp.ndarray) -> Beam:
 class _Lane:
     utt_id: Optional[str] = None
     frames_fed: int = 0
+    overflow_frames: int = 0   # frames whose arc expansion dropped arcs
     recs: List = dataclasses.field(default_factory=list)  # [(prev, word)] np
 
 
@@ -61,11 +63,8 @@ class StreamingDecoder:
         self.opts = opts
         self.graph = GraphArrays.build(fst, tid2pdf,
                                        fold_eps=opts.fold_eps)
-        self.num_eps_iters = (opts.max_eps_iters
-                              if opts.max_eps_iters is not None
-                              else max(1, min(fst.eps_depth, 16)))
-        self.frame_eps_iters = (0 if self.graph.folded
-                                else self.num_eps_iters)
+        self.num_eps_iters, self.frame_eps_iters = resolve_eps_iters(
+            self.graph, opts)
         self.num_lanes = num_lanes
         self._init_beam, self._init_rec = init_beam_batch(
             num_lanes, self.graph, opts, self.num_eps_iters)
@@ -99,17 +98,19 @@ class StreamingDecoder:
         """
         scores = jnp.asarray(scores)
         valid = np.asarray(valid, dtype=bool)
-        self.beam, recs = decode_chunk(self.beam, scores,
-                                       jnp.asarray(valid), self.graph,
-                                       self.opts, self.frame_eps_iters)
+        self.beam, recs, ov = decode_chunk(self.beam, scores,
+                                           jnp.asarray(valid), self.graph,
+                                           self.opts, self.frame_eps_iters)
         prev = np.asarray(recs.prev)
         word = np.asarray(recs.word)
+        ov = np.asarray(ov)
         for i, lane in enumerate(self.lanes):
             n = int(valid[i].sum())
             if lane.utt_id is None or n == 0:
                 continue
             lane.recs.append((prev[i, :n], word[i, :n]))
             lane.frames_fed += n
+            lane.overflow_frames += int(ov[i].sum())
 
     # ------------------------------------------------------------------
     # Checkpoint / resume (net-new vs the reference, SURVEY.md §5.4: an
@@ -121,9 +122,10 @@ class StreamingDecoder:
         payload = {
             "beam_state": np.asarray(self.beam.state),
             "beam_cost": np.asarray(self.beam.cost),
+            # fixed-width unicode (no object dtype → no pickle in the archive)
             "utt_ids": np.asarray(
-                [l.utt_id if l.utt_id is not None else "" for l in self.lanes],
-                dtype=object),
+                [l.utt_id if l.utt_id is not None else ""
+                 for l in self.lanes]),
             "frames_fed": np.asarray([l.frames_fed for l in self.lanes],
                                      dtype=np.int64),
         }
@@ -133,11 +135,11 @@ class StreamingDecoder:
                     [r[0] for r in lane.recs], axis=0)
                 payload[f"recs_word_{i}"] = np.concatenate(
                     [r[1] for r in lane.recs], axis=0)
-        np.savez_compressed(path, **payload, allow_pickle=True)
+        np.savez_compressed(path, **payload)
 
     def load_state(self, path: str) -> None:
         """Restore a snapshot taken by :meth:`save_state`."""
-        data = np.load(path, allow_pickle=True)
+        data = np.load(path)
         self.beam = Beam(jnp.asarray(data["beam_state"]),
                          jnp.asarray(data["beam_cost"]))
         utt_ids = data["utt_ids"]

@@ -109,6 +109,33 @@ class Fst:
             fd.write(arcs.tobytes())
 
     @classmethod
+    def from_arrays(cls, num_states: int, start_state: int,
+                    src: np.ndarray, dst: np.ndarray, ilabel: np.ndarray,
+                    olabel: np.ndarray, weight: np.ndarray,
+                    final: np.ndarray) -> "Fst":
+        """Vectorized build from flat arc columns (converter/bench path).
+
+        ``final`` is the dense (S,) float array (+inf = non-final).  Arcs
+        are stably sorted by source state; ``first_arc`` is densified the
+        same way ``convert_fstfmt.py:44-52`` does (-1 for arc-less states).
+        """
+        src = np.asarray(src, dtype=np.int64)
+        order = np.argsort(src, kind="stable")
+        src = src[order]
+        first_arc = np.full(num_states, -1, dtype=np.int32)
+        uniq, first_pos = np.unique(src, return_index=True)
+        first_arc[uniq] = first_pos.astype(np.int32)
+        return cls(
+            start_state=start_state,
+            final=np.asarray(final, dtype=np.float32),
+            first_arc=first_arc,
+            next_state=np.asarray(dst, dtype=np.int32)[order],
+            ilabel=np.asarray(ilabel, dtype=np.int32)[order],
+            olabel=np.asarray(olabel, dtype=np.int32)[order],
+            weight=np.asarray(weight, dtype=np.float32)[order],
+        )
+
+    @classmethod
     def from_arcs(cls, num_states: int, start_state: int,
                   arcs: "list[tuple]", finals: "dict[int, float]") -> "Fst":
         """Build from (src, dst, ilabel, olabel, weight) tuples (tool/test path)."""
@@ -206,13 +233,22 @@ class Fst:
         np.cumsum(counts, out=ptr[1:])
         return ptr, emit_idx
 
-    @cached_property
-    def eps_depth(self) -> int:
-        """Upper bound on epsilon-chain length (longest path in the eps DAG).
+    # Longest-eps-chain measurement cap; hitting it means the eps sub-graph
+    # has a cycle (or a pathologically deep chain) and NO sweep count can be
+    # proven sufficient — eps_depth_bounded goes False and the decoder
+    # refuses to clamp silently (decoder/beam.py resolve_eps_iters).
+    EPS_DEPTH_CAP = 256
 
-        Computed by iterated relaxation over epsilon arcs only; HCLG graphs
-        are built eps-cycle-free (apart from zero-weight self-loops which do
-        not extend chains).  Capped at 64 as a safety valve.
+    @cached_property
+    def _eps_depth_info(self):
+        """(depth, bounded): longest path in the eps DAG + convergence flag.
+
+        Computed by iterated relaxation over epsilon arcs only (self-loops
+        never extend chains).  ``bounded`` is False when the relaxation has
+        not converged within EPS_DEPTH_CAP sweeps — the reference instead
+        runs its work-list to fixpoint at decode time (decoder.cc:186-221);
+        here the bound must exist statically, so an unbounded measurement is
+        surfaced rather than clamped.
         """
         is_eps = self.ilabel == 0
         src = self.arc_source[is_eps]
@@ -220,22 +256,33 @@ class Fst:
         keep = src != dst  # ignore self-loops
         src, dst = src[keep], dst[keep]
         if src.size == 0:
-            return 0
+            return 0, True
         depth = np.zeros(self.num_states, dtype=np.int32)
-        for it in range(64):
+        for it in range(self.EPS_DEPTH_CAP):
             cand = depth[src] + 1
             new = depth.copy()
             np.maximum.at(new, dst, cand)
             if np.array_equal(new, depth):
-                return it
+                return it, True
             depth = new
-        return 64
+        return self.EPS_DEPTH_CAP, False
+
+    @property
+    def eps_depth(self) -> int:
+        return self._eps_depth_info[0]
+
+    @property
+    def eps_depth_bounded(self) -> bool:
+        return self._eps_depth_info[1]
 
     @cached_property
     def eps_closure(self) -> Optional[dict]:
         """Min-cost epsilon closure: best eps-path from s to every t ≠ s.
 
-        Returns a dict of flat arrays {src, dst, cost, w1, w2, nwords} where
+        Returns a dict of flat arrays {src, dst, cost, w1, w2, nwords} plus
+        a scalar "sweeps" (extension iterations to fixpoint — every min-cost
+        eps path has ≤ sweeps+1 edges, which bounds the relaxation sweeps a
+        decoder needs for ANY token set, cyclic graphs included), where
         (w1, w2) are the first two word labels emitted along the min-cost
         path (0 = none) and nwords counts them — or ``None`` when the
         closure is unusable for arc folding: an improving epsilon cycle, a
@@ -257,7 +304,7 @@ class Fst:
         if src.size == 0:
             return {k: np.zeros(0, np.int32) for k in
                     ("src", "dst", "w1", "w2", "nwords")} | \
-                {"cost": np.zeros(0, np.float32)}
+                {"cost": np.zeros(0, np.float32), "sweeps": 0}
 
         max_pairs = 16 * src.size + 1024
         order = np.argsort(src, kind="stable")
@@ -280,7 +327,8 @@ class Fst:
 
         psrc, pdst, pcost, pw1, pw2, pn = dedup(psrc, pdst, pcost, pw1, pw2,
                                                 pn)
-        for _ in range(64):
+        sweeps = 0
+        for sweeps in range(1, 65):
             # extend every current path by one eps arc out of its endpoint
             lo = np.searchsorted(bsrc, pdst, side="left")
             hi = np.searchsorted(bsrc, pdst, side="right")
@@ -309,9 +357,13 @@ class Fst:
                 np.concatenate([pw2, ew2]), np.concatenate([pn, en]))
             if nn.size > max_pairs:
                 return None
+            # Exact fixpoint test: Bellman-Ford over nonnegative float64
+            # weights converges exactly, and a tolerance here (np.allclose
+            # originally) could freeze a still-improving sub-tolerance path
+            # into the folded arc weights — diverging folded vs swept costs.
             if (ns.size == psrc.size and np.array_equal(ns, psrc)
                     and np.array_equal(nd, pdst)
-                    and np.allclose(nc, pcost)):
+                    and np.array_equal(nc, pcost)):
                 break
             psrc, pdst, pcost, pw1, pw2, pn = ns, nd, nc, n1, n2, nn
         else:
@@ -321,7 +373,7 @@ class Fst:
             return None                         # min-cost path needs >2 words
         return {"src": psrc.astype(np.int32), "dst": pdst.astype(np.int32),
                 "cost": pcost.astype(np.float32), "w1": pw1, "w2": pw2,
-                "nwords": pn}
+                "nwords": pn, "sweeps": sweeps}
 
     def final_weight(self, state: int) -> float:
         return float(self.final[state])

@@ -127,9 +127,10 @@ class ShardedPipeline:
 
         def body(bm, xs):
             s_t, v_t = xs
-            return dec(bm, s_t, v_t)
+            b2, rec, ov = dec(bm, s_t, v_t)
+            return b2, (rec, ov)
 
-        beam, recs = jax.lax.scan(
+        beam, (recs, ovs) = jax.lax.scan(
             body, beam, (jnp.swapaxes(scores, 0, 1), valid.T))
         slot, total, fin = best_final(beam, self.graph)
         return recs, init_rec, beam, (slot, total, fin)

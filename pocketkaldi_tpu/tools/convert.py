@@ -7,10 +7,12 @@ framework (and for the reference binary — the formats are shared):
   * ``convert_am``         — Kaldi nnet2 AM *text* dump (``nnet-am-copy``)
                              → NNT0 nnet + VEC0 prior
                              (reference: tool/convert_am.py)
-  * ``convert_fst_text``   — OpenFST *text* (AT&T) HCLG → ``pk::fst_0``
-                             (reference: tool/convert_fstfmt.py, which reads
-                             the binary via the openfst python lib; text
-                             input keeps this tool dependency-free)
+  * ``convert_fst``        — OpenFST HCLG → ``pk::fst_0``; accepts BOTH the
+                             binary container (VectorFst/ConstFst, parsed
+                             hermetically by tools/openfst.py — the reference
+                             needs the openfst python lib, tool/
+                             convert_fstfmt.py:24-26) and AT&T text
+                             (``fstprint`` output)
   * ``convert_words``      — Kaldi words.txt → SYM0 symbol table
                              (reference: tool/convert_words.py)
   * ``convert_trans``      — tid→pdf text dump → int32 VEC0
@@ -152,8 +154,30 @@ def convert_am(text_am_path: str, out_prefix: str) -> Tuple[int, int]:
 
 
 # ---------------------------------------------------------------------------
-# OpenFST text → pk::fst_0
+# OpenFST (binary or text) → pk::fst_0
 # ---------------------------------------------------------------------------
+
+def convert_fst(fst_path: str, out_path: str) -> Fst:
+    """OpenFST HCLG → ``pk::fst_0`` (reference: tool/convert_fstfmt.py).
+
+    Dispatches on the file's leading magic: the OpenFST binary container
+    (VectorFst or ConstFst, StdArc) is parsed directly — no openfst
+    installation, no ``fstprint`` step — anything else is treated as AT&T
+    text.
+    """
+    from . import openfst
+    with open(fst_path, "rb") as fd:
+        head = fd.read(4)
+    if len(head) == 4 and \
+            int.from_bytes(head, "little", signed=True) == openfst.FST_MAGIC:
+        g = openfst.read_openfst(fst_path)
+        fst = Fst.from_arrays(g.num_states, g.start, g.arc_source,
+                              g.next_state, g.ilabel, g.olabel, g.weight,
+                              g.final)
+        fst.write(out_path)
+        return fst
+    return convert_fst_text(fst_path, out_path)
+
 
 def convert_fst_text(fst_text_path: str, out_path: str) -> Fst:
     """AT&T text format: 'src dst ilabel olabel [weight]' / 'state [final]'."""
@@ -216,15 +240,41 @@ def convert_words(words_txt_path: str, out_path: str) -> SymbolTable:
 # ---------------------------------------------------------------------------
 
 def convert_trans(trans_txt_path: str, out_path: str) -> np.ndarray:
-    """Text dump of the transition-id → pdf-id map (one int per line or
-    'tid pdf' pairs) → int32 VEC0, 1-based tid indexing with slot 0 = 0."""
-    vals = []
+    """Transition-id → pdf-id text dump → int32 VEC0.
+
+    Input contract — the ``extract_id2pdf`` dump the reference consumes
+    (tool/extract_id2pdf.cc:51-60, parsed by tool/convert_trans.py:15-22):
+
+        line 1:  num_pdfs
+        line 2:  num_transition_ids
+        line 3+: ``tid pdf`` pairs for tid 0..num_transition_ids
+
+    yielding a vector of length num_transition_ids+1 indexed by tid.  Since
+    ``extract_id2pdf`` links against a full Kaldi build, the same dump can
+    be produced without it from any Kaldi installation::
+
+        copy-transition-model --binary=false final.mdl - | <tiny awk/py
+        over the <Triples>/<Tuples> block>, or python + kaldi_io
+
+    (see docs/KALDI_INGESTION.md for the exact recipe).  A bare
+    whitespace-separated list of pdf-ids (indexed 1-based, slot 0 = 0) is
+    also accepted for hand-built fixtures.
+    """
     with open(trans_txt_path) as fd:
-        tokens = fd.read().split()
-    if not tokens:
+        lines = [ln.strip() for ln in fd if ln.strip()]
+    if not lines:
         raise CorruptionError(f"empty file: {trans_txt_path}")
-    vals = [int(t) for t in tokens]
-    vec = np.asarray(vals, dtype=np.int32)
+    pairwise = len(lines) >= 3 and len(lines[0].split()) == 1 and \
+        len(lines[1].split()) == 1 and len(lines[2].split()) == 2
+    if pairwise:
+        num_transitions = int(lines[1])
+        vec = np.zeros(num_transitions + 1, dtype=np.int32)
+        for line in lines[2:]:
+            tid, pdf = line.split()
+            vec[int(tid)] = int(pdf)
+    else:
+        vals = [int(t) for ln in lines for t in ln.split()]
+        vec = np.asarray(vals, dtype=np.int32)
     binary.write_vector_file(out_path, vec)
     return vec
 

@@ -36,14 +36,16 @@ def random_blocks(rng, num_states, max_arcs_per_state=5, eps=False):
 def test_build_blocks_roundtrip():
     rng = np.random.RandomState(90)
     blocks, (srcs, nxt, pdf, ol, w) = random_blocks(rng, 12)
+    assert blocks.num_planes == 4          # [next, pdf, olabel, weight]
     ptr = np.asarray(blocks.blk_ptr)
-    # packed rows are stored flat (NB+1, 5·BLOCK); view as planes here
-    packed = np.asarray(blocks.packed).reshape(-1, 5, blocks.block)
+    # packed rows are stored flat (NB+1, P·BLOCK); view as planes here
+    packed = np.asarray(blocks.packed).reshape(-1, blocks.num_planes,
+                                               blocks.block)
     # every real arc appears exactly once in its state's block range
     seen = 0
     for s in range(12):
         rows = packed[ptr[s]:ptr[s + 1]]
-        weights = rows[:, 4, :].view(np.float32).reshape(-1)
+        weights = rows[:, -1, :].view(np.float32).reshape(-1)
         real = np.isfinite(weights)
         state_arcs = np.nonzero(srcs == s)[0]
         assert real.sum() == state_arcs.size
@@ -59,7 +61,29 @@ def test_build_blocks_roundtrip():
         seen += real.sum()
     assert seen == srcs.size
     # pad row is all-inf
-    assert np.isinf(packed[-1, 4, :].view(np.float32)).all()
+    assert np.isinf(packed[-1, -1, :].view(np.float32)).all()
+
+
+def test_build_blocks_plane_layout():
+    """Eps blocks carry 3 planes, folded-emit 5 — missing planes skipped."""
+    rng = np.random.RandomState(95)
+    srcs = np.array([0, 1, 1], dtype=np.int64)
+    nxt = np.array([1, 0, 2], dtype=np.int32)
+    ol = np.array([3, 0, 7], dtype=np.int32)
+    w = np.array([0.5, 1.0, 2.0], dtype=np.float32)
+    eps = _build_blocks(3, srcs, nxt, None, ol, w, with_pdf=False)
+    assert eps.num_planes == 3 and not eps.has_pdf and not eps.has_ol2
+    packed = np.asarray(eps.packed).reshape(-1, 3, eps.block)
+    real = np.isfinite(packed[:, -1, :].view(np.float32).reshape(-1))
+    assert sorted(packed[:, 1, :].reshape(-1)[real]) == [0, 3, 7]
+
+    pdf = np.array([4, 5, 6], dtype=np.int32)
+    ol2 = np.array([9, 0, 1], dtype=np.int32)
+    folded = _build_blocks(3, srcs, nxt, pdf, ol, w, olabel2=ol2)
+    assert folded.num_planes == 5 and folded.has_pdf and folded.has_ol2
+    packed = np.asarray(folded.packed).reshape(-1, 5, folded.block)
+    real = np.isfinite(packed[:, -1, :].view(np.float32).reshape(-1))
+    assert sorted(packed[:, 3, :].reshape(-1)[real]) == [0, 1, 9]
 
 
 @pytest.mark.parametrize("k", [64, 256, 2048])
@@ -124,7 +148,8 @@ def test_dense_equals_flat_expansion():
                                        jnp.asarray(costs),
                                        jnp.asarray(slots), blocks, 64)),
     ]:
-        nxt, pdf, ol, ol2, w, tc, ts = fn()
+        nxt, pdf, ol, ol2, w, tc, ts, ov = fn()
+        assert not np.asarray(ov).any()
         cost = np.asarray(tc)[:, None] + np.asarray(w)
         entries = []
         for i in range(cost.shape[0]):

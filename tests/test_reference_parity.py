@@ -59,3 +59,8 @@ def test_transcript_parity(tmp_path, ref_binary, seed):
             f"{p}: ours '{utt.hyp}' vs reference '{ref_hyp}'"
         # printed with %f (6 decimals) by the reference (main.cc:28)
         assert utt.loglikelihood_per_frame == pytest.approx(ref_ll, abs=2e-4)
+
+    # BASELINE.md protocol: corpus WER vs reference transcripts must be 0.
+    from pocketkaldi_tpu.utils.wer import corpus_wer
+    w = corpus_wer([r[1] for r in ref_rows], [u.hyp for u in utts])
+    assert w.errors == 0 and w.wer == 0.0

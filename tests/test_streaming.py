@@ -119,3 +119,35 @@ def test_checkpoint_resume(setup, tmp_path):
     got = sd2.finish(0)
     assert got.words == want.words
     assert got.total_cost == pytest.approx(want.total_cost, rel=1e-5)
+
+
+def test_checkpoint_archive_contents(setup, tmp_path):
+    """The snapshot holds exactly the expected arrays and needs no pickle.
+
+    Regression: save_state once passed ``allow_pickle=True`` into
+    ``np.savez_compressed``, which silently saved it as an ARRAY named
+    ``allow_pickle`` instead of acting as a flag.
+    """
+    fst, tid2pdf, opts = setup
+    rng = np.random.RandomState(64)
+    p = 10
+    c = opts.chunk_frames
+    sd = StreamingDecoder(fst, tid2pdf, opts, num_lanes=2)
+    sd.attach(1, "utt-z")
+    chunk = (rng.randn(2, c, p) * 2.0).astype(np.float32)
+    valid = np.zeros((2, c), bool)
+    valid[1] = True
+    sd.feed(chunk, valid)
+    ckpt = str(tmp_path / "state.npz")
+    sd.save_state(ckpt)
+
+    data = np.load(ckpt)  # allow_pickle defaults to False: must still load
+    assert set(data.files) == {"beam_state", "beam_cost", "utt_ids",
+                               "frames_fed", "recs_prev_1", "recs_word_1"}
+    assert data["beam_state"].shape == (2, opts.max_active)
+    assert data["beam_cost"].dtype == np.float32
+    assert data["utt_ids"].dtype.kind == "U"   # fixed-width text, no objects
+    assert list(data["utt_ids"]) == ["", "utt-z"]
+    assert list(data["frames_fed"]) == [0, c]
+    assert data["recs_prev_1"].shape == data["recs_word_1"].shape
+    assert data["recs_prev_1"].shape[0] == c

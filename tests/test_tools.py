@@ -78,6 +78,105 @@ def test_convert_trans(tmp_path):
     np.testing.assert_array_equal(loaded, [0, 0, 1, 1, 2])
 
 
+def test_convert_trans_extract_id2pdf_format(tmp_path):
+    """The extract_id2pdf dump contract (tool/extract_id2pdf.cc:51-60):
+    num_pdfs, num_transition_ids, then 'tid pdf' pairs."""
+    src = tmp_path / "id2pdf.txt"
+    src.write_text("3\n4\n0 0\n1 2\n2 2\n3 0\n4 1\n")
+    vec = convert.convert_trans(str(src), str(tmp_path / "t.bin"))
+    loaded = binary.read_vector_file(str(tmp_path / "t.bin"), dtype=np.int32)
+    np.testing.assert_array_equal(loaded, [0, 2, 2, 0, 1])
+    assert len(loaded) == 5  # num_transition_ids + 1
+
+
+def _random_graph_arrays(rng, num_states=25, num_arcs=120, num_syms=12):
+    src = rng.randint(0, num_states, size=num_arcs)
+    dst = rng.randint(0, num_states, size=num_arcs)
+    il = rng.randint(0, num_syms, size=num_arcs)
+    ol = rng.randint(0, num_syms, size=num_arcs)
+    w = rng.rand(num_arcs).astype(np.float32)
+    final = np.full(num_states, np.inf, dtype=np.float32)
+    final[rng.choice(num_states, 5, replace=False)] = \
+        rng.rand(5).astype(np.float32)
+    return src, dst, il, ol, w, final
+
+
+@pytest.mark.parametrize("container", ["vector", "const"])
+def test_openfst_binary_roundtrip(tmp_path, container):
+    """OpenFST binary reader parses the documented on-disk layout."""
+    from pocketkaldi_tpu.tools import openfst
+
+    rng = np.random.RandomState(70)
+    src, dst, il, ol, w, final = _random_graph_arrays(rng)
+    path = str(tmp_path / f"g.{container}.fst")
+    writer = (openfst.write_vector_fst if container == "vector"
+              else openfst.write_const_fst)
+    writer(path, 0, len(final), final, src, il, ol, w, dst)
+
+    g = openfst.read_openfst(path)
+    assert g.start == 0 and g.num_states == len(final)
+    np.testing.assert_allclose(g.final, final)
+    # reader returns arcs sorted by source state (stable)
+    order = np.argsort(src, kind="stable")
+    np.testing.assert_array_equal(g.arc_source, src[order])
+    np.testing.assert_array_equal(g.ilabel, il[order])
+    np.testing.assert_array_equal(g.olabel, ol[order])
+    np.testing.assert_array_equal(g.next_state, dst[order])
+    np.testing.assert_allclose(g.weight, w[order])
+
+
+def test_openfst_rejects_garbage(tmp_path):
+    from pocketkaldi_tpu.errors import CorruptionError
+    from pocketkaldi_tpu.tools import openfst
+
+    p = tmp_path / "bad.fst"
+    p.write_bytes(b"\x00" * 64)
+    with pytest.raises(CorruptionError):
+        openfst.read_openfst(str(p))
+
+
+@pytest.mark.parametrize("container", ["vector", "const"])
+def test_convert_fst_binary_end_to_end(tmp_path, container):
+    """A binary OpenFST HCLG converts and decodes identically to the
+    original graph — the hermetic stock-Kaldi-pack gate (VERDICT r1 #6)."""
+    from pocketkaldi_tpu.decoder import ViterbiDecoder
+    from pocketkaldi_tpu.hparams import DecoderOptions
+    from pocketkaldi_tpu.tools import openfst
+    from pocketkaldi_tpu.tools.make_fixtures import make_decoding_graph
+
+    rng = np.random.RandomState(71)
+    orig = make_decoding_graph(rng, 30, 20, 8)
+    bin_path = str(tmp_path / "HCLG.fst")
+    writer = (openfst.write_vector_fst if container == "vector"
+              else openfst.write_const_fst)
+    writer(bin_path, orig.start_state, orig.num_states, orig.final,
+           orig.arc_source, orig.ilabel, orig.olabel, orig.weight,
+           orig.next_state)
+
+    out_path = str(tmp_path / "model.fst")
+    convert.convert_fst(bin_path, out_path)
+    got = Fst.read(out_path)
+    assert got.num_states == orig.num_states
+    assert got.num_arcs == orig.num_arcs
+
+    tid2pdf = rng.randint(0, 10, size=21).astype(np.int32)
+    scores = (rng.randn(2, 10, 10) * 2.0).astype(np.float32)
+    opts = DecoderOptions(max_active=64, expand_factor=8, chunk_frames=4)
+    a = ViterbiDecoder(orig, tid2pdf, opts).decode(scores)
+    b = ViterbiDecoder(got, tid2pdf, opts).decode(scores)
+    for ha, hb in zip(a, b):
+        assert ha.words == hb.words
+        assert ha.total_cost == pytest.approx(hb.total_cost, rel=1e-6)
+
+
+def test_convert_fst_text_dispatch(tmp_path):
+    """convert_fst falls through to the AT&T text parser on non-binary."""
+    src = tmp_path / "g.txt"
+    src.write_text("0 1 1 10 0.5\n1 0.25\n")
+    fst = convert.convert_fst(str(src), str(tmp_path / "g.fst"))
+    assert fst.num_states == 2 and fst.num_arcs == 1
+
+
 def test_convert_cmvn_stats(tmp_path):
     src = tmp_path / "s.txt"
     src.write_text(" [ 10 20 30 5\n 1 2 3 0 ]\n")
