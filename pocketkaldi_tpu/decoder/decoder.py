@@ -113,16 +113,18 @@ class ViterbiDecoder:
             ov_counts.append(jnp.sum(ov, axis=-1))
             if offload:
                 # One-chunk lookahead: fetch chunk t-1's records while chunk
-                # t computes.
+                # t computes.  np.array (forced copy): on the CPU backend
+                # np.asarray is zero-copy and would pin every chunk's device
+                # buffer for the whole utterance — offload means OFF device.
                 if pending is not None:
-                    host_recs.append((np.asarray(pending.prev),
-                                      np.asarray(pending.word)))
+                    host_recs.append((np.array(pending.prev),
+                                      np.array(pending.word)))
                 pending = recs
             else:
                 device_recs.append(recs)
         if pending is not None:
-            host_recs.append((np.asarray(pending.prev),
-                              np.asarray(pending.word)))
+            host_recs.append((np.array(pending.prev),
+                              np.array(pending.word)))
 
         slot, total, fin = best_final(beam, self.graph)
         slot_np = np.asarray(slot)
@@ -214,9 +216,14 @@ class ViterbiDecoder:
 
         from ..io import native
         if prev.shape[1] and native.available():
+            # Worst case one word per generation (long audio can exceed any
+            # fixed cap); +G0 init generations, +1 so count<max never trips.
+            max_words = prev.shape[1] * prev.shape[2] + \
+                init_prev.shape[1] + 1
             try:
                 return native.traceback_batch(prev, word, init_prev,
-                                              init_word, slot, num_frames)
+                                              init_word, slot, num_frames,
+                                              max_words=max_words)
             except RuntimeError:
                 pass
         return [

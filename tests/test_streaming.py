@@ -143,11 +143,14 @@ def test_checkpoint_archive_contents(setup, tmp_path):
 
     data = np.load(ckpt)  # allow_pickle defaults to False: must still load
     assert set(data.files) == {"beam_state", "beam_cost", "utt_ids",
-                               "frames_fed", "recs_prev_1", "recs_word_1"}
+                               "frames_fed", "attach_chunk", "chunks_fed",
+                               "rec_base", "window_prev_0", "window_word_0"}
     assert data["beam_state"].shape == (2, opts.max_active)
     assert data["beam_cost"].dtype == np.float32
     assert data["utt_ids"].dtype.kind == "U"   # fixed-width text, no objects
     assert list(data["utt_ids"]) == ["", "utt-z"]
     assert list(data["frames_fed"]) == [0, c]
-    assert data["recs_prev_1"].shape == data["recs_word_1"].shape
-    assert data["recs_prev_1"].shape[0] == c
+    assert int(data["chunks_fed"]) == 1 and int(data["rec_base"]) == 0
+    # device-resident record window: one chunk of (B, C, G, K) records
+    assert data["window_prev_0"].shape == data["window_word_0"].shape
+    assert data["window_prev_0"].shape[:2] == (2, c)
