@@ -254,18 +254,21 @@ def main():
     exact = better = worse = 0
     if ref and ref["rate"] > 0:
         vs_baseline = rate / ref["rate"]
-        # Parity protocol: exact transcript match, OR our 1-best is strictly
-        # better by the (verified-aligned) per-frame loglike — the
-        # reference's 200-sample cutoff estimate (decoder.cc:132-182)
-        # sometimes prunes the true best path that our exact top-K keeps;
-        # that is a reference search error, not a mismatch.
+        # Parity protocol: exact transcript match, OR our 1-best has strictly
+        # LOWER total path cost per frame.  NOTE the reference's printed
+        # "loglikelihood_per_frame" is hyp.weight()/ncol (pocketkaldi.cc:239)
+        # where weight is Viterbi path COST (decoder.cc:336) — lower is
+        # better; ours matches that formula for CLI parity.  A differing
+        # transcript with HIGHER cost is a search error on our side (the
+        # reference keeps up to 30k tokens; exact top-K below that prunes
+        # more) and counts against parity.
         for p, u in zip(wav_paths, utts):
             if p not in ref["hyps"]:
                 continue
             if ref["hyps"][p] == u.hyp:
                 exact += 1
             elif ref.get("lls") and \
-                    u.loglikelihood_per_frame > ref["lls"][p] + 1e-3:
+                    u.loglikelihood_per_frame < ref["lls"][p] - 1e-3:
                 better += 1
             else:
                 worse += 1
