@@ -52,7 +52,13 @@ REF_RESULT = os.path.join(CACHE,
                           f"bench_reference-{PACK_TAG}-{WAV_TAG}.json")
 
 BATCH = int(os.environ.get("PKTPU_BENCH_BATCH", "128"))
-MAX_ACTIVE = int(os.environ.get("PKTPU_BENCH_K", "1024"))
+# K=16384 is the measured exact-parity capacity on this pack (BASELINE.md
+# parity ladder: 8/8 bit-exact transcripts + costs vs the reference binary).
+# The pooled decoder makes this capacity affordable: the shared token pool
+# prices each frame at actual occupancy (median ~243/lane) instead of
+# B×K worst case.
+MAX_ACTIVE = int(os.environ.get("PKTPU_BENCH_K", "16384"))
+POOLED = os.environ.get("PKTPU_BENCH_POOLED", "1") != "0"
 SECONDS = 5.0
 REF_SUBSET = 8           # reference decodes this many of the same wavs
 SAMPLE_RATE = 16000
@@ -216,14 +222,13 @@ def main():
 
     log(f"loading model on backend={jax.default_backend()}...")
     rec = Recognizer.load(conf_path)
-    # Exact top-K capacity: on the structured pack the 1-best matches the
-    # reference's 30k sampled cutoff from small K (low-entropy posteriors
-    # keep few states in-beam); parity at the default K is verified against
-    # the reference binary below and reported as transcript_parity.
-    rec.decoder_opts = DecoderOptions(max_active=MAX_ACTIVE, expand_factor=8,
-                                      chunk_frames=64)
-    rec.decoder = type(rec.decoder)(rec.fst, rec.am.tid2pdf,
-                                    rec.decoder_opts)
+    # Exact top-K capacity at the measured parity point (K=16384, 8/8 exact
+    # vs the reference binary — BASELINE.md); the pooled decoder prices that
+    # capacity at occupancy so it stays fast.  transcript_parity re-verifies
+    # on every run below.
+    rec.set_decoder_opts(DecoderOptions(max_active=MAX_ACTIVE,
+                                        expand_factor=8, chunk_frames=64,
+                                        pooled=POOLED))
 
     # Warm-up: compile every shape bucket once.
     log("warmup/compile...")
@@ -292,6 +297,8 @@ def main():
         "parity_ours_better": better,
         "parity_mismatch": worse,
         "max_active": MAX_ACTIVE,
+        "pooled": POOLED,
+        "pool_size": getattr(rec.decoder, "last_pool_size", None),
         "pack": PACK_TAG,
     }
     with open(LAST_GOOD, "w") as fd:

@@ -364,27 +364,23 @@ def _cumsum_mxu(x: jnp.ndarray) -> jnp.ndarray:
 SCORE_ONEHOT_MIN = 4096
 
 
-def lookup_scores(scores_t: jnp.ndarray, pdf: jnp.ndarray) -> jnp.ndarray:
-    """``scores_t[pdf]`` via factorized one-hot matmuls on the MXU.
+def lookup_scores_onehot(scores_t: jnp.ndarray,
+                         pdf: jnp.ndarray) -> jnp.ndarray:
+    """``scores_t[pdf]`` via factorized one-hot matmuls on the MXU — always.
 
-    XLA:TPU gathers cost ~13 ns *per index*; at K=8192 the per-arc pdf
-    lookup is ~2M indices per frame across the batch (measured 22.6 ms).
-    Factorizing the index as (row, col) = (pdf // 128, pdf % 128) turns the
-    lookup into a column one-hot (N, 128) matmul against the score table
-    reshaped (R, 128), followed by a row-select mask — 3.1 ms for the same
-    lookup (7.3x).  EXACT in f32: every dot product has exactly one nonzero
-    term (1.0 * score), so no rounding is introduced (hence HIGHEST
-    precision — default TPU precision truncates to bf16, max err ~1e-2).
-    Pallas equivalents measured slower (small-matmul bound) or failed to
-    compile on this toolchain; see docs/PERFORMANCE.md.
+    EXACT in f32: every dot product has exactly one nonzero term
+    (1.0 * score), so no rounding is introduced (hence HIGHEST precision —
+    default TPU precision truncates to bf16, max err ~1e-2).  Use directly
+    (instead of ``lookup_scores``) when the call sits under ``vmap`` and the
+    per-call index count is below SCORE_ONEHOT_MIN but the *batched* count is
+    not — the size heuristic must see the total (pooled decoder's grouped
+    lookup).
     """
     shape = pdf.shape
     n = 1
     for d in shape:
         n *= int(d)
     p = scores_t.shape[-1]
-    if n < SCORE_ONEHOT_MIN:
-        return scores_t[pdf]
     c = 128
     r = -(-p // c)
     table = jnp.pad(scores_t, (0, r * c - p)).reshape(r, c)
@@ -395,6 +391,26 @@ def lookup_scores(scores_t: jnp.ndarray, pdf: jnp.ndarray) -> jnp.ndarray:
                     preferred_element_type=jnp.float32)
     oh_row = jax.nn.one_hot(idx // c, r, dtype=jnp.float32)
     return jnp.sum(t1 * oh_row, axis=-1).reshape(shape)
+
+
+def lookup_scores(scores_t: jnp.ndarray, pdf: jnp.ndarray) -> jnp.ndarray:
+    """``scores_t[pdf]`` via factorized one-hot matmuls on the MXU.
+
+    XLA:TPU gathers cost ~13 ns *per index*; at K=8192 the per-arc pdf
+    lookup is ~2M indices per frame across the batch (measured 22.6 ms).
+    Factorizing the index as (row, col) = (pdf // 128, pdf % 128) turns the
+    lookup into a column one-hot (N, 128) matmul against the score table
+    reshaped (R, 128), followed by a row-select mask — 3.1 ms for the same
+    lookup (7.3x).  Below SCORE_ONEHOT_MIN indices a plain gather wins.
+    Pallas equivalents measured slower (small-matmul bound) or failed to
+    compile on this toolchain; see docs/PERFORMANCE.md.
+    """
+    n = 1
+    for d in pdf.shape:
+        n *= int(d)
+    if n < SCORE_ONEHOT_MIN:
+        return scores_t[pdf]
+    return lookup_scores_onehot(scores_t, pdf)
 
 
 def _split_planes(rows: jnp.ndarray, blocks: ArcBlocks):

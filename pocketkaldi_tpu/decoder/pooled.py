@@ -1,0 +1,630 @@
+"""Pooled-beam Viterbi decode: capacity priced at occupancy, not worst case.
+
+Why this exists.  Beam demand on real workloads is BURSTY: on the bench pack
+the median per-frame in-beam token count is 243 (p90 = 815), yet a handful
+of acoustically uninformative frames per utterance flood the beam past 8192
+(`scripts/probe_occupancy.py`).  Exact parity with the reference therefore
+needs max-active-scale capacity (it keeps up to 30 000 tokens,
+`src/decoder.h:45`, so burst frames survive) — but a static per-lane beam
+pays the burst price on EVERY frame: at K=16384 the per-frame candidate sort
+dominates and throughput collapses to 0.25x the reference binary.
+
+The pooled design shares ONE token pool across all lanes of the batch:
+
+    per-lane (B, K) arrays  →  pool (Kp,) arrays [lane, state, cost]
+
+Lanes draw capacity on demand — a lane may hold up to ``max_active`` tokens
+during its burst while quiet lanes hold a few hundred — and the pool is
+sized for the SUM of demands (law of large numbers smooths the bursts:
+B·E[occupancy] + a burst allowance, far below B·K_max).  All shapes stay
+static (XLA requirement); per-lane width is dynamic inside them.
+
+Layout invariant (established by every frame step):
+  * tokens sorted lane-major, cost-ascending within each lane;
+  * each lane's run is padded to a multiple of GROUP tokens with dead slots
+    (state = -1, cost = +inf) that carry the lane id;
+  * the global tail beyond all runs is dead with lane = LANE_DEAD.
+
+The 128-token (GROUP) alignment is what keeps acoustic scoring on the fast
+path: each group of GROUP·arcs candidates belongs to ONE lane, so per-frame
+scores are fetched as G row-gathers of the (B, P) score matrix and looked
+up with the same factorized one-hot MXU lookup the per-lane decoder uses
+(`beam.lookup_scores`) — no per-candidate (lane, pdf) 2-D gather, which
+XLA:TPU would serialize.
+
+Frame step = expansion (dense block row-gather, `beam.ArcBlocks`) + three
+pool-wide sorts:
+  A. dedup:   sort by (lane·(S+1)+state, cost); first-of-run keeps the
+              min-cost token per (lane, state)  [HashTable insert-min,
+              decoder.cc:99-130, across the whole batch at once]
+  B. rank:    sort by (lane, cost); per-lane beam prune vs the run head,
+              per-lane rank cap (max_active)    [GetCutoff/top-K semantics]
+  C. placement: sort by the 128-aligned target slot; synthesized pad tokens
+              round each lane's survivors up to a full group.
+Sort A/B/C run over ~Kp·(arcs_per_token+1) elements; flat 2M-element sorts
+measure ~4-5 ms on v5e, independent of per-lane skew — that is the whole
+point: burst lanes no longer multiply against quiet lanes' static width.
+
+Exactness: when no frame sets the pool-overflow flag (survivors + padding
+exceeding Kp), the decode is IDENTICAL to the per-lane decoder at
+K = max_active — verified token-for-token in tests/test_pooled.py.  On
+overflow the decoder retries the chunk with a doubled pool
+(decoder.py/PooledViterbiDecoder), so results are never silently wrong.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..hparams import DecoderOptions
+from .beam import (ArcBlocks, Beam, GraphArrays, _first_of_run,
+                   _split_planes, init_beam_batch, lookup_scores_onehot,
+                   resolve_eps_iters, INT_MAX)
+
+GROUP = 128          # tokens per lane-uniform score group (pool alignment)
+LANE_DEAD = INT_MAX  # lane id of the dead global tail
+
+
+class PoolBeam(NamedTuple):
+    """Pooled tokens, lane-major cost-sorted, GROUP-aligned lane runs.
+
+    lane:  (Kp,) int32 — owning lane; LANE_DEAD past the last run.  Dead
+           padding INSIDE a run carries the run's lane id.
+    state: (Kp,) int32 — graph state, -1 for dead slots.
+    cost:  (Kp,) float32 — +inf for dead slots.
+    """
+    lane: jnp.ndarray
+    state: jnp.ndarray
+    cost: jnp.ndarray
+
+
+class PoolRecord(NamedTuple):
+    """Backpointers of one pooled frame: ``prev`` indexes the PREVIOUS
+    pool's slots; generations as in beam.StepRecord ((G, Kp) each)."""
+    prev: jnp.ndarray
+    word: jnp.ndarray
+
+
+def _propagate_run_head(first: jnp.ndarray, val: jnp.ndarray) -> jnp.ndarray:
+    """For each position, the ``val`` at the start of its run.
+
+    Segmented "latest set value" via an associative scan over (set, value)
+    pairs — O(N log N) elementwise, no gathers.
+    """
+    def combine(a, b):
+        a_set, a_val = a
+        b_set, b_val = b
+        return a_set | b_set, jnp.where(b_set, b_val, a_val)
+
+    _, out = jax.lax.associative_scan(combine, (first, val))
+    return out
+
+
+def _lane_table_lookup(table: jnp.ndarray, lane: jnp.ndarray) -> jnp.ndarray:
+    """``table[lane]`` for a small (B,)-table — one-hot matmul, no gather.
+
+    lane may contain LANE_DEAD / out-of-range values; they map to 0.
+    """
+    b = table.shape[0]
+    oh = jax.nn.one_hot(jnp.clip(lane, 0, b - 1), b, dtype=jnp.float32)
+    oh = oh * (lane >= 0)[..., None] * (lane < b)[..., None]
+    out = jnp.einsum("nb,b->n", oh, table.astype(jnp.float32),
+                     precision=jax.lax.Precision.HIGHEST)
+    return out
+
+
+def _expand_pool(pool: PoolBeam, blocks: ArcBlocks):
+    """Dense per-token expansion in pool space (beam.expand_dense, minus the
+    batch axis): every token fetches its ``max_blocks`` rows."""
+    kp = pool.state.shape[0]
+    mb = max(1, blocks.max_blocks)
+    nb = blocks.packed.shape[0] - 1
+    width = blocks.packed.shape[-1]
+    safe = jnp.maximum(pool.state, 0)
+    start = blocks.blk_ptr[safe]
+    cnt = jnp.where(pool.state < 0, 0, blocks.blk_ptr[safe + 1] - start)
+    j = jnp.arange(mb, dtype=jnp.int32)
+    blk = jnp.where(j < cnt[:, None], start[:, None] + j, nb)
+    rows = blocks.packed[blk.reshape(-1)].reshape(kp * mb, width)
+    nxt, pdf, olabel, olabel2, weight = _split_planes(rows, blocks)
+    tok_cost = jnp.repeat(pool.cost, mb, total_repeat_length=kp * mb)
+    tok_slot = jnp.repeat(jnp.arange(kp, dtype=jnp.int32), mb,
+                          total_repeat_length=kp * mb)
+    tok_lane = jnp.repeat(pool.lane, mb, total_repeat_length=kp * mb)
+    return nxt, pdf, olabel, olabel2, weight, tok_cost, tok_slot, tok_lane
+
+
+def _score_groups(scores_t: jnp.ndarray, pdf: jnp.ndarray,
+                  group_lane: jnp.ndarray) -> jnp.ndarray:
+    """Acoustic scores for group-uniform candidates.
+
+    scores_t:   (B, P) frame scores
+    pdf:        (G, W) candidate pdf ids, group g entirely owned by
+                group_lane[g] (GROUP-alignment invariant)
+    group_lane: (G,) int32, LANE_DEAD for dead tail groups
+    returns     (G, W) scores (dead groups get lane-0 scores; their weights
+                are +inf so the value never matters)
+    """
+    safe = jnp.clip(group_lane, 0, scores_t.shape[0] - 1)
+    table = scores_t[safe]                 # (G, P) row gather — fast class
+    # one-hot path FORCED: lookup_scores' size heuristic sees the per-call
+    # (per-group) index count, which is small — but the batched total is the
+    # frame's whole candidate set, exactly the regime where XLA:TPU's
+    # per-index gather cost dominates.
+    return jax.vmap(lookup_scores_onehot)(table, pdf)
+
+
+def pool_frame_step(pool: PoolBeam, scores_t: jnp.ndarray,
+                    frame_valid: jnp.ndarray, g: GraphArrays,
+                    opts: DecoderOptions
+                    ) -> Tuple[PoolBeam, PoolRecord, jnp.ndarray]:
+    """One emitting frame over the pool (folded graphs only).
+
+    scores_t (B, P); frame_valid (B,).  Returns (pool', record, overflow)
+    where overflow is a scalar bool: the pool could not hold this frame's
+    survivors (results for the frame are then unusable — callers retry the
+    chunk with a bigger pool).
+    """
+    assert g.folded, "pooled decode requires an eps-folded graph"
+    b = scores_t.shape[0]
+    s_plus = int(np.int64(g.final.shape[0])) + 1
+    kp = pool.state.shape[0]
+    cap = min(opts.max_active, kp)
+
+    # --- expansion + scoring -------------------------------------------
+    nxt, pdf, olabel, olabel2, weight, tok_cost, tok_slot, tok_lane = \
+        _expand_pool(pool, g.emit)
+    n = nxt.shape[0] * nxt.shape[1]
+    arcs = nxt.shape[1]
+    kp_now = pool.state.shape[0]
+    ng = kp_now // GROUP
+    group_lane = pool.lane[::GROUP]
+    # (Kp·mb, BLOCK) → (G, GROUP·mb·BLOCK): group g's candidates are all
+    # owned by group_lane[g] (pool alignment invariant).
+    ac = _score_groups(scores_t, pdf.reshape(ng, -1), group_lane)
+    ac = ac.reshape(nxt.shape)
+    cand_cost = tok_cost[:, None] + weight - ac
+
+    # candidates flat
+    c_state = nxt.reshape(n)
+    c_cost = cand_cost.reshape(n)
+    c_lane = jnp.repeat(tok_lane, arcs, total_repeat_length=n)
+    c_prev = jnp.repeat(tok_slot, arcs, total_repeat_length=n)
+    c_word = olabel.reshape(n)
+    c_word2 = olabel2.reshape(n) if olabel2 is not None else \
+        jnp.zeros(n, jnp.int32)
+
+    # invalid lanes: suppress new candidates, carry existing tokens.  The
+    # lane→valid lookup runs once per pool SLOT (Kp) and is repeated out to
+    # candidates — not once per candidate (Kp·mb·BLOCK one-hot rows).
+    keep_valid = _lane_table_lookup(frame_valid.astype(jnp.float32),
+                                    pool.lane) > 0.5
+    mb = nxt.shape[0] // kp_now
+    cand_valid = jnp.repeat(jnp.repeat(keep_valid, mb,
+                                       total_repeat_length=nxt.shape[0]),
+                            arcs, total_repeat_length=n)
+    c_cost = jnp.where(cand_valid, c_cost, jnp.inf)
+    k_cost = jnp.where(keep_valid | (pool.state < 0), jnp.inf, pool.cost)
+    all_state = jnp.concatenate([c_state, pool.state])
+    all_cost = jnp.concatenate([c_cost, k_cost])
+    all_lane = jnp.concatenate([c_lane, pool.lane])
+    all_prev = jnp.concatenate([c_prev,
+                                jnp.arange(kp_now, dtype=jnp.int32)])
+    all_word = jnp.concatenate([c_word, jnp.zeros(kp_now, jnp.int32)])
+    all_word2 = jnp.concatenate([c_word2, jnp.zeros(kp_now, jnp.int32)])
+
+    return _pool_select(all_state, all_cost, all_lane, all_prev, all_word,
+                        all_word2, b, s_plus, cap, kp,
+                        jnp.float32(opts.beam), g)
+
+
+def _pool_select(state, cost, lane, prev, word, word2, b, s_plus, cap, kp,
+                 beam_width, g: GraphArrays
+                 ) -> Tuple[PoolBeam, PoolRecord, jnp.ndarray]:
+    """Dedup + per-lane beam/cap prune + GROUP-aligned placement."""
+    n = state.shape[0]
+    finite = jnp.isfinite(cost)
+    # ---- sort A: dedup by (lane, state), min cost ----------------------
+    combo = jnp.where(finite, lane * s_plus + jnp.maximum(state, 0),
+                      INT_MAX)
+    sA = jax.lax.sort((combo, cost, state, prev, word, word2), num_keys=2,
+                      is_stable=True)
+    a_combo, a_cost, a_state, a_prev, a_word, a_word2 = sA
+    keep = _first_of_run(a_combo) & (a_combo != INT_MAX)
+    a_lane = jnp.where(keep, a_combo // s_plus, LANE_DEAD)
+    a_cost = jnp.where(keep, a_cost, jnp.inf)
+
+    # ---- sort B: per-lane cost order; beam + cap prune -----------------
+    sB = jax.lax.sort((a_lane, a_cost, a_state, a_prev, a_word, a_word2),
+                      num_keys=2, is_stable=True)
+    b_lane, b_cost, b_state, b_prev, b_word, b_word2 = sB
+    first = _first_of_run(b_lane)
+    idx = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
+    run_start = _propagate_run_head(first, idx)
+    run_best = _propagate_run_head(first, b_cost)
+    rank = idx - run_start
+    alive = (b_lane != LANE_DEAD) & (b_cost <= run_best + beam_width) & \
+        (rank < cap) & jnp.isfinite(b_cost)
+
+    # ---- placement: 128-aligned target slots + synthesized pads --------
+    # per-lane alive counts (B,) via masked one-hot matmul (no scatter)
+    lane_oh = jax.nn.one_hot(jnp.clip(b_lane, 0, b - 1), b,
+                             dtype=jnp.float32) * alive[:, None]
+    counts = jnp.sum(lane_oh, axis=0).astype(jnp.int32)        # (B,)
+    padded = -(-counts // GROUP) * GROUP                        # (B,)
+    base = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                            jnp.cumsum(padded)[:-1]])
+    overflow = jnp.sum(padded) > kp
+
+    tok_base = _lane_table_lookup(base, b_lane).astype(jnp.int32)
+    target = jnp.where(alive, tok_base + rank, INT_MAX)
+
+    # pad tokens: GROUP per lane, alive while they round the lane up
+    pad_lane = jnp.repeat(jnp.arange(b, dtype=jnp.int32), GROUP)
+    pad_j = jnp.tile(jnp.arange(GROUP, dtype=jnp.int32), b)
+    pad_cnt = _lane_table_lookup(padded - counts, pad_lane).astype(jnp.int32)
+    pad_cnts_ok = pad_j < pad_cnt
+    pad_rank = _lane_table_lookup(counts, pad_lane).astype(jnp.int32) + pad_j
+    pad_base = _lane_table_lookup(base, pad_lane).astype(jnp.int32)
+    pad_target = jnp.where(pad_cnts_ok, pad_base + pad_rank, INT_MAX)
+
+    t_target = jnp.concatenate([target, pad_target])
+    t_lane = jnp.concatenate([b_lane, pad_lane])
+    t_state = jnp.concatenate([b_state, jnp.full(b * GROUP, -1, jnp.int32)])
+    t_cost = jnp.concatenate(
+        [jnp.where(alive, b_cost, jnp.inf),
+         jnp.full(b * GROUP, jnp.inf, jnp.float32)])
+    t_prev = jnp.concatenate([b_prev, jnp.zeros(b * GROUP, jnp.int32)])
+    t_word = jnp.concatenate([b_word, jnp.zeros(b * GROUP, jnp.int32)])
+    t_word2 = jnp.concatenate([b_word2, jnp.zeros(b * GROUP, jnp.int32)])
+
+    sC = jax.lax.sort((t_target, t_lane, t_state, t_cost, t_prev, t_word,
+                       t_word2), num_keys=1, is_stable=True)
+    tail_dead = sC[0][:kp] == INT_MAX          # global dead tail
+    new_lane = jnp.where(tail_dead, LANE_DEAD, sC[1][:kp])
+    new_state = jnp.where(tail_dead, -1, sC[2][:kp])
+    pool = PoolBeam(new_lane, new_state, sC[3][:kp])
+    rec_prev = sC[4][:kp]
+    rec_word = jnp.where(new_state < 0, 0, sC[5][:kp])
+    rec_word2 = jnp.where(new_state < 0, 0, sC[6][:kp])
+
+    # folded 2-word arcs: generation 0 = (prev, word), generation 1 =
+    # (identity, word2) — identical record contract to beam.frame_step.
+    id_slot = jnp.arange(kp, dtype=jnp.int32)
+    rec = PoolRecord(jnp.stack([rec_prev, id_slot]),
+                     jnp.stack([rec_word, rec_word2]))
+    return pool, rec, overflow
+
+
+@partial(jax.jit, static_argnames=("g", "opts"))
+def pool_decode_chunk(pool: PoolBeam, scores: jnp.ndarray,
+                      frame_valid: jnp.ndarray, g: GraphArrays,
+                      opts: DecoderOptions):
+    """Scan pool_frame_step over a chunk.
+
+    scores (B, C, P), frame_valid (B, C).  Returns (pool', records with
+    shapes (C, 2, Kp), overflow (C,) bools)."""
+    def body(p, xs):
+        s_t, v_t = xs
+        p2, rec, ov = pool_frame_step(p, s_t, v_t, g, opts)
+        return p2, (rec, ov)
+
+    xs = (jnp.swapaxes(scores, 0, 1), jnp.swapaxes(frame_valid, 0, 1))
+    new_pool, (recs, ovs) = jax.lax.scan(body, pool, xs)
+    return new_pool, recs, ovs
+
+
+@partial(jax.jit, static_argnames=("kp",))
+def pool_from_beams(beam: Beam, kp: int) -> Tuple[PoolBeam, jnp.ndarray,
+                                                  jnp.ndarray]:
+    """Pack per-lane (B, K) beams into a pool; returns (pool, origin,
+    overflow) where origin[p] = per-lane slot the pool token came from (-1
+    for dead) — the bridge from pooled records back into per-lane init
+    records."""
+    bsz, k = beam.state.shape
+    lane = jnp.repeat(jnp.arange(bsz, dtype=jnp.int32), k)
+    state = beam.state.reshape(-1)
+    cost = beam.cost.reshape(-1)
+    slot = jnp.tile(jnp.arange(k, dtype=jnp.int32), bsz)
+    n = state.shape[0]
+
+    finite = jnp.isfinite(cost) & (state >= 0)
+    s_lane = jnp.where(finite, lane, LANE_DEAD)
+    sB = jax.lax.sort((s_lane, cost, state, slot), num_keys=2,
+                      is_stable=True)
+    b_lane, b_cost, b_state, b_slot = sB
+    first = _first_of_run(b_lane)
+    idx = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
+    rank = idx - _propagate_run_head(first, idx)
+    alive = b_lane != LANE_DEAD
+
+    lane_oh = jax.nn.one_hot(jnp.clip(b_lane, 0, bsz - 1), bsz,
+                             dtype=jnp.float32) * alive[:, None]
+    counts = jnp.sum(lane_oh, axis=0).astype(jnp.int32)
+    padded = -(-counts // GROUP) * GROUP
+    base = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                            jnp.cumsum(padded)[:-1]])
+    tok_base = _lane_table_lookup(base, b_lane).astype(jnp.int32)
+    target = jnp.where(alive, tok_base + rank, INT_MAX)
+
+    pad_lane = jnp.repeat(jnp.arange(bsz, dtype=jnp.int32), GROUP)
+    pad_j = jnp.tile(jnp.arange(GROUP, dtype=jnp.int32), bsz)
+    pad_cnt = _lane_table_lookup(padded - counts, pad_lane).astype(jnp.int32)
+    pad_rank = _lane_table_lookup(counts, pad_lane).astype(jnp.int32) + pad_j
+    pad_base = _lane_table_lookup(base, pad_lane).astype(jnp.int32)
+    pad_target = jnp.where(pad_j < pad_cnt, pad_base + pad_rank, INT_MAX)
+
+    t_target = jnp.concatenate([target, pad_target])
+    t_lane = jnp.concatenate([b_lane, pad_lane])
+    t_state = jnp.concatenate([b_state,
+                               jnp.full(bsz * GROUP, -1, jnp.int32)])
+    t_cost = jnp.concatenate([jnp.where(alive, b_cost, jnp.inf),
+                              jnp.full(bsz * GROUP, jnp.inf, jnp.float32)])
+    t_slot = jnp.concatenate([jnp.where(alive, b_slot, -1),
+                              jnp.full(bsz * GROUP, -1, jnp.int32)])
+    if t_target.shape[0] < kp:            # pool wider than the source beams
+        extra = kp - t_target.shape[0]
+        t_target = jnp.pad(t_target, (0, extra), constant_values=INT_MAX)
+        t_lane = jnp.pad(t_lane, (0, extra), constant_values=LANE_DEAD)
+        t_state = jnp.pad(t_state, (0, extra), constant_values=-1)
+        t_cost = jnp.pad(t_cost, (0, extra), constant_values=np.inf)
+        t_slot = jnp.pad(t_slot, (0, extra), constant_values=-1)
+    sC = jax.lax.sort((t_target, t_lane, t_state, t_cost, t_slot),
+                      num_keys=1, is_stable=True)
+    tail_dead = sC[0][:kp] == INT_MAX
+    lane_out = jnp.where(tail_dead, LANE_DEAD, sC[1][:kp])
+    state_out = jnp.where(tail_dead, -1, sC[2][:kp])
+    pool = PoolBeam(lane_out, state_out, sC[3][:kp])
+    origin = jnp.where(tail_dead, -1, sC[4][:kp])
+    overflow = jnp.sum(padded) > kp
+    return pool, origin, overflow
+
+
+@partial(jax.jit, static_argnames=("g", "batch"))
+def pool_best_final(pool: PoolBeam, g: GraphArrays, batch: int):
+    """Per-lane argmin of cost + final(state) over the pool.
+
+    Returns (slot (B,), total (B,), final (B,)); slot = -1 when the lane
+    reached no final state."""
+    safe = jnp.maximum(pool.state, 0)
+    fin = jnp.where(pool.state >= 0, g.final[safe], jnp.inf)
+    total = pool.cost + fin
+    # per-lane min via masked broadcast (B, Kp) — Kp·B bools, fine off the
+    # hot path (once per utterance batch).
+    lanes = jnp.arange(batch, dtype=jnp.int32)
+    masked = jnp.where(pool.lane[None, :] == lanes[:, None], total[None, :],
+                       jnp.inf)
+    slot = jnp.argmin(masked, axis=-1)
+    best = jnp.take_along_axis(masked, slot[:, None], axis=1)[:, 0]
+    best_fin = jnp.where(jnp.isinf(best), jnp.inf,
+                         fin[slot])
+    slot = jnp.where(jnp.isinf(best), -1, slot)
+    return slot, best, best_fin
+
+
+def pad_pool(pool: PoolBeam, new_kp: int) -> PoolBeam:
+    """Widen a pool by appending dead tail slots (invariants preserved:
+    GROUP alignment holds because new_kp is a GROUP multiple, live slot
+    indices are unchanged so existing backpointers stay valid)."""
+    extra = new_kp - pool.lane.shape[0]
+    assert extra >= 0 and new_kp % GROUP == 0
+    return PoolBeam(
+        jnp.pad(pool.lane, (0, extra), constant_values=LANE_DEAD),
+        jnp.pad(pool.state, (0, extra), constant_values=-1),
+        jnp.pad(pool.cost, (0, extra), constant_values=np.inf))
+
+
+@jax.jit
+def pool_traceback_chunk(slot: jnp.ndarray, rec: PoolRecord):
+    """Walk one chunk's pooled records backwards for B walkers at once.
+
+    slot: (B,) pool slots entering from the NEXT chunk; rec (C, G, Kp).
+    Returns (slot', words (B, C, G)) — same contract as beam.traceback_chunk
+    but the slot space is the pool."""
+    c, gg, kp = rec.prev.shape
+    prev = rec.prev.reshape(c * gg, kp)[::-1]
+    word = rec.word.reshape(c * gg, kp)[::-1]
+
+    def step(s, xs):
+        p, w = xs
+        sc = jnp.maximum(s, 0)
+        return p[sc], w[sc]
+
+    s, words_rev = jax.lax.scan(step, slot, (prev, word))
+    return s, jnp.swapaxes(words_rev[::-1], 0, 1).reshape(-1, c, gg)
+
+
+# ---------------------------------------------------------------------------
+# Driver
+# ---------------------------------------------------------------------------
+
+def _round_group(x: int) -> int:
+    return -(-int(x) // GROUP) * GROUP
+
+
+class PooledViterbiDecoder:
+    """Batched Viterbi decoder whose capacity is priced at OCCUPANCY.
+
+    Drop-in alternative to ``decoder.ViterbiDecoder`` (same ``decode``
+    signature and Hypothesis output; requires an eps-foldable graph).  One
+    token pool of ``Kp`` slots is shared by all lanes: a lane may hold up to
+    ``opts.max_active`` tokens during its burst frames while quiet lanes
+    hold a few hundred, so the per-frame sort cost scales with the SUM of
+    per-lane demands instead of ``B × max_active``.  Exactness: when no
+    frame overflows the pool, the decode is token-for-token identical to the
+    per-lane decoder at ``K = max_active`` (tests/test_pooled.py); on
+    overflow the affected chunk is retried with a doubled pool — results are
+    never silently wrong.  The retry is detected LAZILY (per-chunk overflow
+    flags are fetched once, after all chunks are enqueued) so the
+    no-overflow fast path keeps the host→device pipeline full.
+
+    ``pool_size``: initial pool slots (rounded up to GROUP); default
+    ``max(B·1024, max_active + B·GROUP)`` — the bench pack's occupancy
+    profile (median 243, p99 3.8k, rare >8k bursts; scripts/
+    probe_occupancy.py) plus one full-size burst lane.  Growth is capped at
+    ``B · roundup(max_active)``, where overflow is provably impossible.
+    """
+
+    def __init__(self, fst: Fst, tid2pdf: np.ndarray,
+                 opts: DecoderOptions = DecoderOptions(),
+                 pool_size: int = None):
+        from ..errors import PkRuntimeError
+        self.fst = fst
+        self.opts = opts
+        if opts.offload_records:
+            raise PkRuntimeError(
+                "PooledViterbiDecoder keeps records on device (pooled "
+                "traceback); offload_records is the per-lane ViterbiDecoder's "
+                "long-audio mode — use that instead")
+        if pool_size is None:
+            pool_size = opts.pool_size
+        self.graph = GraphArrays.build(fst, tid2pdf, fold_eps=opts.fold_eps)
+        if not self.graph.folded:
+            raise PkRuntimeError(
+                "PooledViterbiDecoder requires an epsilon-folded graph "
+                "(this one has an unfoldable epsilon closure); use "
+                "ViterbiDecoder instead")
+        self.num_eps_iters, _ = resolve_eps_iters(self.graph, opts)
+        # sortA's dedup key is lane·(S+1)+state in int32
+        self._s_plus = int(fst.num_states) + 1
+        self._max_batch = (INT_MAX - 1) // self._s_plus
+        self.pool_size = pool_size
+        # observed pool size of the most recent decode (for telemetry/tests)
+        self.last_pool_size: int = 0
+        self.last_pool_growths: int = 0
+
+    # ------------------------------------------------------------------
+    def _kp0(self, b: int) -> int:
+        if self.pool_size is not None:
+            kp = _round_group(self.pool_size)
+        else:
+            kp = _round_group(max(b * 1024,
+                                  self.opts.max_active + b * GROUP))
+        return min(kp, self._kp_cap(b))
+
+    def _kp_cap(self, b: int) -> int:
+        """Pool size at which per-lane caps make overflow impossible."""
+        return b * _round_group(self.opts.max_active)
+
+    # ------------------------------------------------------------------
+    def decode(self, scores, num_frames=None):
+        """Decode a batch — same contract as ViterbiDecoder.decode
+        (ndarray (B, T, P) or callable ``scores_fn(lo, hi)`` + num_frames).
+        """
+        from .decoder import Hypothesis
+        if callable(scores):
+            scores_fn = scores
+            if num_frames is None:
+                raise ValueError("num_frames required with callable scores")
+            t = int(max(num_frames))
+            b = len(num_frames)
+        else:
+            scores = jnp.asarray(scores)
+            if scores.ndim == 2:
+                scores = scores[None]
+            b, t, _ = scores.shape
+            scores_fn = lambda lo, hi: scores[:, lo:hi]
+        if num_frames is None:
+            num_frames = [t] * b
+        num_frames = np.asarray(num_frames, dtype=np.int32)
+        if b > self._max_batch:
+            raise ValueError(
+                f"batch {b} too large for this graph's pooled dedup key "
+                f"(max {self._max_batch} lanes at {self._s_plus - 1} states)")
+
+        beam, init_rec = init_beam_batch(b, self.graph, self.opts,
+                                         self.num_eps_iters)
+        kp = self._kp0(b)
+        growths = 0
+        while True:
+            pool0, origin, ov = pool_from_beams(beam, kp)
+            if not bool(np.asarray(ov)) or kp >= self._kp_cap(b):
+                break
+            kp = min(kp * 2, self._kp_cap(b))
+            growths += 1
+
+        chunk = self.opts.chunk_frames
+        bounds = [(lo, min(lo + chunk, t)) for lo in range(0, t, chunk)]
+        frame_idx = np.arange(t)
+
+        def run_chunk(pool, lo, hi):
+            sl = jnp.asarray(scores_fn(lo, hi))
+            valid = jnp.asarray(
+                frame_idx[lo:hi][None, :] < num_frames[:, None])
+            return pool_decode_chunk(pool, sl, valid, self.graph, self.opts)
+
+        # Lazy overflow protocol: enqueue every chunk, then fetch the (tiny)
+        # per-chunk flags once; on overflow resume from the first bad chunk
+        # with a doubled pool (its entering pool was kept on device).
+        pools = [pool0]         # pool entering chunk i
+        recs_list = []
+        while True:
+            start = len(recs_list)
+            for i in range(start, len(bounds)):
+                p2, recs, ovs = run_chunk(pools[i], *bounds[i])
+                pools.append(p2)
+                recs_list.append((recs, jnp.any(ovs)))
+            flags = np.asarray(jnp.stack([f for _, f in recs_list]))
+            bad = np.nonzero(flags)[0]
+            if bad.size == 0:
+                break
+            j = int(bad[0])
+            if kp >= self._kp_cap(b):   # provably impossible; defensive
+                raise AssertionError(
+                    "pool overflow at the provable-capacity bound")
+            kp = min(kp * 2, self._kp_cap(b))
+            growths += 1
+            pools = pools[:j + 1]
+            pools[j] = pad_pool(pools[j], kp)
+            recs_list = recs_list[:j]
+        self.last_pool_size = kp
+        self.last_pool_growths = growths
+
+        final_pool = pools[-1]
+        slot, total, fin = pool_best_final(final_pool, self.graph, b)
+        slot_np = np.asarray(slot)
+        total = np.asarray(total)
+        fin = np.asarray(fin)
+
+        # Device traceback, newest chunk first; only (B, C, 2) word planes
+        # and the final slot cross to the host.
+        s = jnp.maximum(slot, 0)
+        planes = []
+        for recs, _ in reversed(recs_list):
+            s, words = pool_traceback_chunk(s, recs)
+            planes.append(words)
+        planes_np = [np.asarray(p) for p in reversed(planes)]
+        plane = np.concatenate(planes_np, axis=1) if planes_np else \
+            np.zeros((b, 0, 1), np.int32)
+        s_np = np.asarray(s)
+        origin_np = np.asarray(origin)
+        init_prev = np.asarray(init_rec.prev)
+        init_word = np.asarray(init_rec.word)
+
+        out = []
+        for i in range(b):
+            if slot_np[i] < 0:
+                out.append(Hypothesis([], 0.0, float("inf"),
+                                      int(num_frames[i])))
+                continue
+            # bridge: pool slot at t=0 → this lane's per-lane init slot
+            si = int(origin_np[s_np[i]])
+            words_init_rev = []
+            for gen in range(init_prev.shape[1] - 1, -1, -1):
+                w = int(init_word[i, gen, si])
+                if w:
+                    words_init_rev.append(w)
+                si = int(init_prev[i, gen, si])
+            flat = plane[i].reshape(-1)
+            words = words_init_rev[::-1] + [int(w) for w in flat if w]
+            weight = float(total[i])
+            if self.opts.compat_double_final:
+                weight += float(fin[i])
+            out.append(Hypothesis(words, weight, float(total[i]),
+                                  int(num_frames[i])))
+        return out

@@ -90,6 +90,13 @@ class DecoderOptions:
     # when feasible: eps-acyclic closure, ≤2 words per min-cost path, arc
     # blowup ≤ GraphArrays.FOLD_MAX_BLOWUP); True = require; False = never.
     fold_eps: Optional[bool] = None
+    # Pooled-beam decode (decoder/pooled.py): ONE token pool shared across
+    # batch lanes, so capacity is priced at occupancy instead of
+    # B × max_active — the fast way to run burst-capacity beams (large
+    # max_active) that typical frames barely use.  Requires an eps-foldable
+    # graph and device traceback (incompatible with offload_records).
+    pooled: bool = False
+    pool_size: Optional[int] = None   # initial pool slots (None = auto)
 
     @property
     def expand_budget(self) -> int:

@@ -62,13 +62,27 @@ class Recognizer:
         self.fbank_opts = fbank_opts
         self.cmvn_opts = cmvn_opts
         self.decoder_opts = decoder_opts
-        self.decoder = ViterbiDecoder(fst, am.tid2pdf, decoder_opts)
+        self.decoder = self._make_decoder()
         self.timers = StageTimers()
         # Utterances longer than this many frames score the AM lazily per
         # decode chunk (with splice halo) instead of materializing the whole
         # (B, T, num_pdfs) matrix — the reference materializes it whole
         # (decodable.cc:13-14), capping utterance length by memory.
         self.lazy_scores_threshold = lazy_scores_threshold
+
+    # ------------------------------------------------------------------
+    def _make_decoder(self):
+        if self.decoder_opts.pooled:
+            from .decoder import PooledViterbiDecoder
+            return PooledViterbiDecoder(self.fst, self.am.tid2pdf,
+                                        self.decoder_opts,
+                                        pool_size=self.decoder_opts.pool_size)
+        return ViterbiDecoder(self.fst, self.am.tid2pdf, self.decoder_opts)
+
+    def set_decoder_opts(self, opts: DecoderOptions) -> None:
+        """Swap decoder options and rebuild the decoder (graph re-blocked)."""
+        self.decoder_opts = opts
+        self.decoder = self._make_decoder()
 
     # ------------------------------------------------------------------
     @classmethod
@@ -96,6 +110,8 @@ class Recognizer:
                                           dec_defaults.acoustic_scale),
             chunk_frames=conf.get_integer("chunk_frames",
                                           dec_defaults.chunk_frames),
+            pooled=bool(conf.get_integer("pooled",
+                                         int(dec_defaults.pooled))),
             **overrides.pop("decoder", {}))
         return cls(fst, am, symbols, cmvn_stats, decoder_opts=decoder_opts,
                    **overrides)

@@ -1,0 +1,67 @@
+"""Pooled-decoder throughput probe at bench scale, on the real backend.
+
+Decodes the bench wavs end-to-end with PooledViterbiDecoder at the
+exact-parity capacity (K=16384) and various pool sizes / batch sizes;
+prints per-config audio-s/s plus pool growth events.  Faster signal than
+the full bench for kernel iteration.
+
+Usage: python scripts/profile_pooled.py [batch] [max_active] [pool_size]
+"""
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+CACHE = os.path.join(REPO, ".cache")
+
+import numpy as np
+import jax
+
+jax.config.update("jax_compilation_cache_dir", os.path.join(CACHE, "jaxcache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+from pocketkaldi_tpu.hparams import DecoderOptions
+from pocketkaldi_tpu.recognizer import Recognizer
+from pocketkaldi_tpu.io import wav as wavio
+
+
+def main():
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+    k = int(sys.argv[2]) if len(sys.argv) > 2 else 16384
+    pool_size = int(sys.argv[3]) if len(sys.argv) > 3 else 0
+    conf = os.path.join(CACHE, "benchmodel-p16-ws1-we0.3", "model.conf")
+    wavs = [os.path.join(CACHE, "benchwavs-seg1", f"utt{i:03d}.wav")
+            for i in range(batch)]
+    waves = [wavio.read_16k_pcm(p) for p in wavs]
+
+    rec = Recognizer.load(conf)
+    rec.set_decoder_opts(DecoderOptions(
+        max_active=k, expand_factor=8, chunk_frames=64, pooled=True,
+        pool_size=pool_size or None))
+    print(f"backend={jax.default_backend()} B={batch} K={k} "
+          f"pool_size={pool_size or 'auto'}", file=sys.stderr)
+
+    t0 = time.perf_counter()
+    utts = rec.process_batch(waves)
+    t_compile = time.perf_counter() - t0
+    print(f"warmup (incl. compile): {t_compile:.1f}s "
+          f"pool={rec.decoder.last_pool_size} "
+          f"growths={rec.decoder.last_pool_growths}", file=sys.stderr)
+
+    runs = 3
+    t0 = time.perf_counter()
+    for _ in range(runs):
+        utts = rec.process_batch(waves)
+    dt = (time.perf_counter() - t0) / runs
+    audio = batch * 5.0
+    print(f"{audio / dt:.1f} audio-s/s  (batch_wall={dt:.2f}s, "
+          f"pool={rec.decoder.last_pool_size}, "
+          f"growths={rec.decoder.last_pool_growths})")
+    for u in utts[:3]:
+        print(f"  {u.hyp[:60]!r} ll={u.loglikelihood_per_frame:.4f}",
+              file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,299 @@
+"""Pooled-beam decoder: equivalence with the per-lane decoder + overflow.
+
+The pooled decoder's whole contract is "identical results to ViterbiDecoder
+at K = max_active whenever the pool does not overflow, and on overflow grow
+and retry — never silently wrong".  These tests pin both halves:
+
+  * hypothesis equivalence (words + costs) on random folded graphs, ragged
+    batches, and hand-checked fixtures;
+  * token-for-token pool layout invariants after each frame;
+  * deliberate overflow → growth, with results still exact;
+  * unfoldable graphs are rejected loudly.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from oracle import viterbi_oracle
+from pocketkaldi_tpu.decoder import PooledViterbiDecoder, ViterbiDecoder
+from pocketkaldi_tpu.decoder import pooled as plib
+from pocketkaldi_tpu.errors import PkRuntimeError
+from pocketkaldi_tpu.fst import Fst
+from pocketkaldi_tpu.hparams import DecoderOptions
+from pocketkaldi_tpu.tools.make_fixtures import make_decoding_graph
+
+
+def _foldable_graph(seed, num_states=40, num_tids=30, num_words=10):
+    """Draw random graphs until one folds (most do)."""
+    for s in range(seed, seed + 50):
+        rng = np.random.RandomState(s)
+        fst = make_decoding_graph(rng, num_states, num_tids, num_words)
+        if fst.eps_closure is not None:
+            return fst, rng
+    raise AssertionError("no foldable graph in 50 seeds")
+
+
+def _assert_same(hyps_a, hyps_b):
+    for a, b in zip(hyps_a, hyps_b):
+        assert a.words == b.words
+        if np.isfinite(a.total_cost) or np.isfinite(b.total_cost):
+            assert a.total_cost == pytest.approx(b.total_cost, rel=1e-5)
+        assert a.num_frames == b.num_frames
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_pooled_matches_per_lane_random(seed):
+    fst, rng = _foldable_graph(100 + seed)
+    num_pdfs = 12
+    tid2pdf = rng.randint(0, num_pdfs, size=31).astype(np.int32)
+    scores = (rng.randn(3, 14, num_pdfs) * 2.0).astype(np.float32)
+    opts = DecoderOptions(max_active=32, expand_factor=16, chunk_frames=5,
+                          fold_eps=True)
+    lane = ViterbiDecoder(fst, tid2pdf, opts).decode(scores)
+    pool = PooledViterbiDecoder(fst, tid2pdf, opts).decode(scores)
+    _assert_same(lane, pool)
+
+
+def test_pooled_matches_oracle():
+    fst, rng = _foldable_graph(300)
+    num_pdfs = 12
+    tid2pdf = rng.randint(0, num_pdfs, size=31).astype(np.int32)
+    scores = (rng.randn(15, num_pdfs) * 2.0).astype(np.float32)
+    want_words, want_cost = viterbi_oracle(fst, tid2pdf, scores)
+    dec = PooledViterbiDecoder(
+        fst, tid2pdf,
+        DecoderOptions(max_active=64, expand_factor=16, beam=1e9,
+                       chunk_frames=6, fold_eps=True))
+    hyp = dec.decode(scores[None])[0]
+    assert hyp.words == want_words
+    assert hyp.total_cost == pytest.approx(want_cost, rel=1e-5)
+
+
+def test_pooled_ragged_batch():
+    """Padding frames are no-ops; per-lane results = solo decodes."""
+    fst, rng = _foldable_graph(400)
+    tid2pdf = rng.randint(0, 8, size=31).astype(np.int32)
+    dec = PooledViterbiDecoder(
+        fst, tid2pdf, DecoderOptions(max_active=32, expand_factor=8,
+                                     chunk_frames=4, fold_eps=True))
+    t_max = 11
+    scores = (rng.randn(3, t_max, 8) * 2.0).astype(np.float32)
+    lengths = [5, 11, 8]
+    batched = dec.decode(scores, num_frames=lengths)
+    for i, n in enumerate(lengths):
+        solo = dec.decode(scores[i, :n][None])[0]
+        assert batched[i].words == solo.words
+        assert batched[i].total_cost == pytest.approx(solo.total_cost,
+                                                      rel=1e-5)
+        assert batched[i].num_frames == n
+
+
+def test_pooled_overflow_grows_and_stays_exact():
+    """A deliberately tiny pool grows (never silently truncates)."""
+    fst, rng = _foldable_graph(500)
+    tid2pdf = rng.randint(0, 12, size=31).astype(np.int32)
+    scores = (rng.randn(2, 10, 12) * 2.0).astype(np.float32)
+    opts = DecoderOptions(max_active=32, expand_factor=16, chunk_frames=4,
+                          fold_eps=True)
+    lane = ViterbiDecoder(fst, tid2pdf, opts).decode(scores)
+    # pool_size=GROUP: one group total for 2 lanes — must overflow
+    dec = PooledViterbiDecoder(fst, tid2pdf, opts, pool_size=plib.GROUP)
+    hyps = dec.decode(scores)
+    assert dec.last_pool_growths > 0
+    assert dec.last_pool_size > plib.GROUP
+    _assert_same(lane, hyps)
+
+
+def test_pooled_rejects_unfoldable():
+    """3-word min-cost eps path → unfoldable → loud error."""
+    arcs = [(0, 1, 1, 0, 0.5)]
+    arcs += [(1 + i, 2 + i, 0, 7 + i, 0.1) for i in range(3)]
+    fst = Fst.from_arcs(5, 0, arcs, finals={4: 0.0})
+    tid2pdf = np.array([0, 0], dtype=np.int32)
+    with pytest.raises((PkRuntimeError, ValueError)):
+        PooledViterbiDecoder(fst, tid2pdf,
+                             DecoderOptions(max_active=8, expand_factor=4))
+
+
+def test_pooled_no_reachable_final():
+    fst = Fst.from_arcs(
+        num_states=2, start_state=0,
+        arcs=[(0, 1, 1, 1, 0.0), (1, 0, 1, 0, 0.0)],
+        finals={})
+    tid2pdf = np.array([0, 0], dtype=np.int32)
+    scores = np.zeros((3, 1), dtype=np.float32)
+    dec = PooledViterbiDecoder(fst, tid2pdf,
+                               DecoderOptions(max_active=4, expand_factor=4))
+    hyp = dec.decode(scores[None])[0]
+    assert hyp.empty
+    assert hyp.weight == 0.0
+
+
+def test_pooled_two_word_folded_arcs():
+    """Folded arcs carrying two words emit both, in order."""
+    fst = Fst.from_arcs(
+        num_states=4, start_state=0,
+        arcs=[
+            (0, 1, 1, 0, 0.5),
+            (1, 2, 0, 5, 0.25),
+            (2, 3, 0, 6, 0.125),
+        ],
+        finals={3: 0.0})
+    tid2pdf = np.array([0, 0], dtype=np.int32)
+    scores = np.array([[1.0]], dtype=np.float32)
+    dec = PooledViterbiDecoder(
+        fst, tid2pdf, DecoderOptions(max_active=8, expand_factor=4,
+                                     chunk_frames=2, fold_eps=True))
+    hyp = dec.decode(scores[None])[0]
+    assert hyp.words == [5, 6]
+    assert hyp.total_cost == pytest.approx(0.5 - 1.0 + 0.25 + 0.125,
+                                           abs=1e-5)
+
+
+def test_pooled_init_closure_words():
+    """Words emitted on the START-state eps closure ride the init bridge."""
+    fst = Fst.from_arcs(
+        num_states=5, start_state=0,
+        arcs=[
+            (0, 1, 0, 7, 0.1),   # init-closure eps arc emitting word 7
+            (1, 2, 1, 0, 0.2),
+            (2, 3, 0, 8, 0.3),
+            (3, 4, 2, 9, 0.4),
+        ],
+        finals={4: 0.0})
+    tid2pdf = np.array([0, 0, 1], dtype=np.int32)
+    scores = np.zeros((2, 2), dtype=np.float32)
+    dec = PooledViterbiDecoder(fst, tid2pdf,
+                               DecoderOptions(max_active=8, expand_factor=4,
+                                              fold_eps=True))
+    hyp = dec.decode(scores[None])[0]
+    assert hyp.words == [7, 8, 9]
+    assert hyp.total_cost == pytest.approx(1.0, abs=1e-5)
+
+
+def _frame_state_sets(pool):
+    """Pool → {lane: sorted [(state, cost)]} for layout-independent compare."""
+    lanes = {}
+    lane = np.asarray(pool.lane)
+    state = np.asarray(pool.state)
+    cost = np.asarray(pool.cost)
+    for ln, st, c in zip(lane, state, cost):
+        if st >= 0 and np.isfinite(c):
+            lanes.setdefault(int(ln), []).append((int(st), float(c)))
+    return {k: sorted(v) for k, v in lanes.items()}
+
+
+def test_pool_step_token_for_token():
+    """Per-frame pooled token sets == per-lane beam token sets."""
+    import jax.numpy as jnp
+    from pocketkaldi_tpu.decoder import beam as blib
+
+    fst, rng = _foldable_graph(700)
+    tid2pdf = rng.randint(0, 10, size=31).astype(np.int32)
+    opts = DecoderOptions(max_active=16, expand_factor=16, chunk_frames=4,
+                          fold_eps=True)
+    g = blib.GraphArrays.build(fst, tid2pdf, fold_eps=True)
+    n_init, _ = blib.resolve_eps_iters(g, opts)
+    b = 3
+    beam, _ = blib.init_beam_batch(b, g, opts, n_init)
+    kp = 8 * plib.GROUP
+    pool, _origin, ov = plib.pool_from_beams(beam, kp)
+    assert not bool(ov)
+
+    scores = (rng.randn(6, b, 10) * 2.0).astype(np.float32)
+    valid = jnp.ones((b,), bool)
+    for t in range(scores.shape[0]):
+        s_t = jnp.asarray(scores[t])
+        beam, _rec, _ovf = blib.frame_step(beam, s_t, valid, g, opts, 0)
+        pool, _prec, ovp = plib.pool_frame_step(pool, s_t, valid, g, opts)
+        assert not bool(ovp)
+        got = _frame_state_sets(pool)
+        want = {}
+        bs = np.asarray(beam.state)
+        bc = np.asarray(beam.cost)
+        for i in range(b):
+            toks = [(int(s), float(c)) for s, c in zip(bs[i], bc[i])
+                    if s >= 0 and np.isfinite(c)]
+            if toks:
+                want[i] = sorted(toks)
+        assert set(got) == set(want), f"frame {t} lanes differ"
+        for i in want:
+            gs = [s for s, _ in got[i]]
+            ws = [s for s, _ in want[i]]
+            assert gs == ws, f"frame {t} lane {i} states differ"
+            gc = np.array([c for _, c in got[i]])
+            wc = np.array([c for _, c in want[i]])
+            np.testing.assert_allclose(gc, wc, rtol=1e-6, atol=1e-6)
+
+
+def test_pool_layout_invariants():
+    """After a frame step: lane-major order, GROUP-aligned runs, dead tail."""
+    import jax.numpy as jnp
+    from pocketkaldi_tpu.decoder import beam as blib
+
+    fst, rng = _foldable_graph(800)
+    tid2pdf = rng.randint(0, 10, size=31).astype(np.int32)
+    opts = DecoderOptions(max_active=16, expand_factor=16, fold_eps=True)
+    g = blib.GraphArrays.build(fst, tid2pdf, fold_eps=True)
+    n_init, _ = blib.resolve_eps_iters(g, opts)
+    b = 4
+    beam, _ = blib.init_beam_batch(b, g, opts, n_init)
+    pool, _o, _ov = plib.pool_from_beams(beam, 8 * plib.GROUP)
+    s_t = jnp.asarray((rng.randn(b, 10) * 2.0).astype(np.float32))
+    pool, _r, ov = plib.pool_frame_step(pool, s_t, jnp.ones((b,), bool),
+                                        g, opts)
+    assert not bool(ov)
+    lane = np.asarray(pool.lane)
+    state = np.asarray(pool.state)
+    cost = np.asarray(pool.cost)
+
+    # lane ids non-decreasing over live slots; dead tail at the end
+    live = lane != plib.LANE_DEAD
+    if live.any():
+        last_live = np.nonzero(live)[0][-1]
+        assert not live[last_live + 1:].any(), "dead tail must be contiguous"
+        runs = lane[:last_live + 1]
+        assert (np.diff(runs) >= 0).all(), "lane-major order violated"
+        # each lane's run is a GROUP multiple
+        for ln in np.unique(runs):
+            assert (runs == ln).sum() % plib.GROUP == 0
+        # within a lane: cost ascending over live tokens, dead pad at end
+        for ln in np.unique(runs):
+            idx = np.nonzero(lane == ln)[0]
+            cs = cost[idx]
+            finite = np.isfinite(cs)
+            if finite.any():
+                lastf = np.nonzero(finite)[0][-1]
+                assert not finite[lastf + 1:].any(), "pad inside run"
+                assert (np.diff(cs[:lastf + 1]) >= -1e-7).all()
+    # dead slots carry state -1 / cost inf
+    assert (state[~live] == -1).all()
+    assert np.isinf(cost[~live]).all()
+
+
+def test_pooled_recognizer_end_to_end(tmp_path):
+    """Recognizer with pooled=True produces identical utterances."""
+    import dataclasses as dc
+
+    from pocketkaldi_tpu import Recognizer
+    from pocketkaldi_tpu.tools.make_fixtures import write_fixture_model
+
+    m = write_fixture_model(str(tmp_path), seed=5)
+    rng = np.random.RandomState(21)
+    n = 8000
+    t = np.arange(n) / 16000.0
+    wave = ((np.sin(2 * np.pi * 500 * t) + rng.randn(n) * 0.1) *
+            8000).astype(np.float32)
+
+    rec = Recognizer.load(m.conf_path)
+    base = rec.process_batch([wave, wave * 0.5])
+    rec.set_decoder_opts(dc.replace(rec.decoder_opts, pooled=True,
+                                    fold_eps=True))
+    assert isinstance(rec.decoder, PooledViterbiDecoder)
+    got = rec.process_batch([wave, wave * 0.5])
+    for a, b in zip(base, got):
+        assert a.hyp == b.hyp
+        assert a.loglikelihood_per_frame == pytest.approx(
+            b.loglikelihood_per_frame, rel=1e-5)
