@@ -563,7 +563,7 @@ class PooledViterbiDecoder:
         # with a doubled pool (its entering pool was kept on device).
         pools = [pool0]         # pool entering chunk i
         recs_list = []
-        while True:
+        while bounds:
             start = len(recs_list)
             for i in range(start, len(bounds)):
                 p2, recs, ovs = run_chunk(pools[i], *bounds[i])
