@@ -30,7 +30,7 @@ import numpy as np
 from ..fst import Fst
 from ..hparams import DecoderOptions
 from .beam import (Beam, GraphArrays, best_final, decode_chunk,
-                   init_beam_batch, resolve_eps_iters, traceback_chunk)
+                   init_beam_host, resolve_eps_iters, traceback_chunk)
 
 
 @dataclasses.dataclass
@@ -93,8 +93,8 @@ class ViterbiDecoder:
             num_frames = [t] * b
         num_frames = np.asarray(num_frames, dtype=np.int32)
 
-        beam, init_rec = init_beam_batch(b, self.graph, self.opts,
-                                         self.num_eps_iters)
+        beam, init_rec = init_beam_host(b, self.graph, self.opts,
+                                        self.num_eps_iters)
 
         chunk = self.opts.chunk_frames
         frame_idx = np.arange(t)

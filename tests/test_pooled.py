@@ -43,6 +43,7 @@ def _assert_same(hyps_a, hyps_b):
         assert a.num_frames == b.num_frames
 
 
+@pytest.mark.full
 @pytest.mark.parametrize("seed", [0, 1, 2, 3])
 def test_pooled_matches_per_lane_random(seed):
     fst, rng = _foldable_graph(100 + seed)
@@ -71,6 +72,7 @@ def test_pooled_matches_oracle():
     assert hyp.total_cost == pytest.approx(want_cost, rel=1e-5)
 
 
+@pytest.mark.full
 def test_pooled_ragged_batch():
     """Padding frames are no-ops; per-lane results = solo decodes."""
     fst, rng = _foldable_graph(400)
@@ -90,6 +92,7 @@ def test_pooled_ragged_batch():
         assert batched[i].num_frames == n
 
 
+@pytest.mark.full
 def test_pooled_overflow_grows_and_stays_exact():
     """A deliberately tiny pool grows (never silently truncates)."""
     fst, rng = _foldable_graph(500)
@@ -104,6 +107,35 @@ def test_pooled_overflow_grows_and_stays_exact():
     assert dec.last_pool_growths > 0
     assert dec.last_pool_size > plib.GROUP
     _assert_same(lane, hyps)
+
+
+@pytest.mark.full
+def test_pool_growth_ladder_bounds_compiles():
+    """Growth walks a ×LADDER_RATIO rung ladder — each rung compiles the
+    chunk program at most once per process, and the reached rung carries
+    into the next decode so re-decoding never grows again (VERDICT r2 #4)."""
+    fst, rng = _foldable_graph(600)
+    tid2pdf = rng.randint(0, 12, size=31).astype(np.int32)
+    scores = (rng.randn(4, 12, 12) * 2.0).astype(np.float32)
+    opts = DecoderOptions(max_active=64, expand_factor=16, chunk_frames=4,
+                          fold_eps=True)
+    dec = PooledViterbiDecoder(fst, tid2pdf, opts, pool_size=plib.GROUP)
+    cache0 = plib.pool_decode_chunk._cache_size()
+    dec.decode(scores)
+    grew = dec.last_pool_growths
+    assert grew > 0
+    # every pool size tried is a ladder rung (pinned pool anchors the ladder)
+    b = scores.shape[0]
+    rungs = dec._ladder(b)
+    assert rungs[0] == plib.GROUP
+    assert dec.last_pool_size in rungs
+    compiles = plib.pool_decode_chunk._cache_size() - cache0
+    assert compiles <= len(rungs)
+    # second decode: learned per-chunk schedule — no growth, no new compile
+    cache1 = plib.pool_decode_chunk._cache_size()
+    dec.decode(scores)
+    assert dec.last_pool_growths == 0
+    assert plib.pool_decode_chunk._cache_size() == cache1
 
 
 def test_pooled_rejects_unfoldable():
@@ -185,6 +217,7 @@ def _frame_state_sets(pool):
     return {k: sorted(v) for k, v in lanes.items()}
 
 
+@pytest.mark.full
 def test_pool_step_token_for_token():
     """Per-frame pooled token sets == per-lane beam token sets."""
     import jax.numpy as jnp
@@ -207,7 +240,8 @@ def test_pool_step_token_for_token():
     for t in range(scores.shape[0]):
         s_t = jnp.asarray(scores[t])
         beam, _rec, _ovf = blib.frame_step(beam, s_t, valid, g, opts, 0)
-        pool, _prec, ovp = plib.pool_frame_step(pool, s_t, valid, g, opts)
+        pool, _prec, ovp, _dem = plib.pool_frame_step(pool, s_t, valid, g,
+                                                      opts)
         assert not bool(ovp)
         got = _frame_state_sets(pool)
         want = {}
@@ -228,6 +262,7 @@ def test_pool_step_token_for_token():
             np.testing.assert_allclose(gc, wc, rtol=1e-6, atol=1e-6)
 
 
+@pytest.mark.full
 def test_pool_layout_invariants():
     """After a frame step: lane-major order, GROUP-aligned runs, dead tail."""
     import jax.numpy as jnp
@@ -242,8 +277,8 @@ def test_pool_layout_invariants():
     beam, _ = blib.init_beam_batch(b, g, opts, n_init)
     pool, _o, _ov = plib.pool_from_beams(beam, 8 * plib.GROUP)
     s_t = jnp.asarray((rng.randn(b, 10) * 2.0).astype(np.float32))
-    pool, _r, ov = plib.pool_frame_step(pool, s_t, jnp.ones((b,), bool),
-                                        g, opts)
+    pool, _r, ov, _dem = plib.pool_frame_step(pool, s_t,
+                                              jnp.ones((b,), bool), g, opts)
     assert not bool(ov)
     lane = np.asarray(pool.lane)
     state = np.asarray(pool.state)
@@ -273,6 +308,7 @@ def test_pool_layout_invariants():
     assert np.isinf(cost[~live]).all()
 
 
+@pytest.mark.full
 def test_pooled_recognizer_end_to_end(tmp_path):
     """Recognizer with pooled=True produces identical utterances."""
     import dataclasses as dc
