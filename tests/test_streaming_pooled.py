@@ -1,0 +1,180 @@
+"""Pooled sharded streaming (VERDICT r2 #3): the occupancy-priced pool
+composed with M5 streaming on the virtual 8-device CPU mesh.
+
+Gates:
+  * StreamSession over PooledStreamingDecoder → transcripts identical to
+    the OFFLINE POOLED decoder (and hence to the per-lane decoder);
+  * mid-stream rebalance (cross-shard token moves + epoch bridges) changes
+    no transcript;
+  * a deliberately tiny per-shard pool grows and stays exact;
+  * record window and epoch bridges prune as lanes finish.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from pocketkaldi_tpu.decoder import PooledViterbiDecoder
+from pocketkaldi_tpu.decoder.streaming import StreamSession
+from pocketkaldi_tpu.decoder.streaming_pooled import PooledStreamingDecoder
+from pocketkaldi_tpu.hparams import DecoderOptions
+from pocketkaldi_tpu.parallel.mesh import make_mesh
+from pocketkaldi_tpu.tools.make_fixtures import make_decoding_graph
+
+P = 10  # pdfs
+
+
+def _foldable(seed, num_states=30, num_tids=20, num_words=8):
+    for s in range(seed, seed + 50):
+        rng = np.random.RandomState(s)
+        fst = make_decoding_graph(rng, num_states, num_tids, num_words)
+        if fst.eps_closure is not None:
+            return fst
+    raise AssertionError("no foldable graph in 50 seeds")
+
+
+@pytest.fixture(scope="module")
+def setup():
+    fst = _foldable(90)
+    rng = np.random.RandomState(90)
+    tid2pdf = rng.randint(0, P, size=21).astype(np.int32)
+    opts = DecoderOptions(max_active=64, expand_factor=8, chunk_frames=4,
+                          fold_eps=True)
+    mesh = make_mesh(jax.devices()[:8], model_parallel=1)
+    return fst, tid2pdf, opts, mesh
+
+
+def make_utts(rng, n, t_range=(5, 18)):
+    return [(f"utt{i:04d}",
+             (rng.randn(rng.randint(*t_range), P) * 2.0).astype(np.float32))
+            for i in range(n)]
+
+
+def offline_pooled(fst, tid2pdf, opts, utts):
+    dec = PooledViterbiDecoder(fst, tid2pdf, opts)
+    return {uid: dec.decode(scores[None])[0] for uid, scores in utts}
+
+
+@pytest.mark.full
+def test_pooled_session_matches_offline_pooled(setup):
+    """64 sharded lanes (8/shard), staggered lengths → transcripts equal to
+    the offline pooled decode."""
+    fst, tid2pdf, opts, mesh = setup
+    rng = np.random.RandomState(91)
+    utts = make_utts(rng, 24)
+    want = offline_pooled(fst, tid2pdf, opts, utts)
+
+    sd = PooledStreamingDecoder(fst, tid2pdf, opts, num_lanes=64, mesh=mesh)
+    got = StreamSession(sd, P).run(utts)
+
+    assert set(got) == set(want)
+    for uid in want:
+        assert got[uid].words == want[uid].words, uid
+        if np.isfinite(want[uid].total_cost):
+            assert got[uid].total_cost == pytest.approx(
+                want[uid].total_cost, rel=1e-5)
+    assert len(sd.free_lanes()) == 64
+    assert sd.resident_record_chunks == 0
+
+
+def test_pooled_rebalance_mid_stream(setup):
+    """Cross-shard token moves + epoch bridges keep transcripts exact."""
+    fst, tid2pdf, opts, mesh = setup
+    rng = np.random.RandomState(92)
+    utts = make_utts(rng, 8, t_range=(9, 13))
+    want = offline_pooled(fst, tid2pdf, opts, utts)
+
+    sd = PooledStreamingDecoder(fst, tid2pdf, opts, num_lanes=8, mesh=mesh)
+    c = opts.chunk_frames
+    feeding = {}
+    for lane, (uid, scores) in enumerate(utts):
+        sd.attach(lane, uid)
+        feeding[lane] = (uid, scores, 0)
+
+    got = {}
+    step = 0
+    while feeding:
+        chunk = np.zeros((8, c, P), np.float32)
+        valid = np.zeros((8, c), bool)
+        for lane, (uid, scores, cur) in feeding.items():
+            n = min(c, scores.shape[0] - cur)
+            chunk[lane, :n] = scores[cur:cur + n]
+            valid[lane, :n] = True
+            feeding[lane] = (uid, scores, cur + n)
+        sd.feed(chunk, valid)
+        step += 1
+        if step == 2:
+            perm = np.roll(np.arange(8), 3)   # rotate across shards
+            sd.rebalance(perm)
+            feeding = {int(np.nonzero(perm == old)[0][0]): v
+                       for old, v in feeding.items()}
+        done = [ln for ln, (_, s, cur) in feeding.items()
+                if cur >= s.shape[0]]
+        for ln, hyp in zip(done, sd.finish_batch(done) if done else []):
+            got[feeding.pop(ln)[0]] = hyp
+
+    for uid in want:
+        assert got[uid].words == want[uid].words, uid
+        if np.isfinite(want[uid].total_cost):
+            assert got[uid].total_cost == pytest.approx(
+                want[uid].total_cost, rel=1e-5)
+
+
+def test_pooled_stream_tiny_pool_grows(setup):
+    """A per-shard pool of one GROUP must grow, never truncate silently."""
+    fst, tid2pdf, opts, mesh = setup
+    rng = np.random.RandomState(93)
+    utts = make_utts(rng, 8, t_range=(6, 10))
+    want = offline_pooled(fst, tid2pdf, opts, utts)
+
+    sd = PooledStreamingDecoder(fst, tid2pdf, opts, num_lanes=16, mesh=mesh,
+                                pool_size=128)
+    got = StreamSession(sd, P).run(utts)
+    assert sd.last_pool_growths > 0
+    assert sd.pool_size > 128
+    for uid in want:
+        assert got[uid].words == want[uid].words, uid
+
+
+def test_pooled_stream_window_prunes(setup):
+    """Records and epoch bridges release as lanes finish."""
+    fst, tid2pdf, opts, mesh = setup
+    rng = np.random.RandomState(94)
+    long_scores = (rng.randn(16, P) * 2.0).astype(np.float32)
+    short_scores = (rng.randn(4, P) * 2.0).astype(np.float32)
+    c = opts.chunk_frames
+
+    sd = PooledStreamingDecoder(fst, tid2pdf, opts, num_lanes=8, mesh=mesh)
+    sd.attach(0, "long")
+    cur = 0
+    for _ in range(2):
+        chunk = np.zeros((8, c, P), np.float32)
+        valid = np.zeros((8, c), bool)
+        chunk[0] = long_scores[cur:cur + c]
+        valid[0] = True
+        cur += c
+        sd.feed(chunk, valid)
+    sd.attach(1, "short")
+    chunk = np.zeros((8, c, P), np.float32)
+    valid = np.zeros((8, c), bool)
+    chunk[0] = long_scores[cur:cur + c]
+    chunk[1] = short_scores
+    valid[0] = valid[1] = True
+    cur += c
+    sd.feed(chunk, valid)
+    assert sd.resident_record_chunks == 3
+    hyp_short = sd.finish(1)
+    assert sd.resident_record_chunks == 3   # long lane pins the window
+
+    chunk = np.zeros((8, c, P), np.float32)
+    valid = np.zeros((8, c), bool)
+    chunk[0] = long_scores[cur:cur + c]
+    valid[0] = True
+    sd.feed(chunk, valid)
+    hyp_long = sd.finish(0)
+    assert sd.resident_record_chunks == 0
+
+    dec = PooledViterbiDecoder(fst, tid2pdf, opts)
+    assert hyp_short.words == dec.decode(short_scores[None])[0].words
+    assert hyp_long.words == dec.decode(long_scores[None])[0].words
