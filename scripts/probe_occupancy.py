@@ -27,9 +27,10 @@ from pocketkaldi_tpu.io import wav as wavio
 
 def main():
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 16384
+    nwavs = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     conf = os.path.join(CACHE, "benchmodel-p16-ws1-we0.3", "model.conf")
     wavs = [os.path.join(CACHE, "benchwavs-seg1", f"utt{i:03d}.wav")
-            for i in range(8)]
+            for i in range(nwavs)]
     waves = [wavio.read_16k_pcm(p) for p in wavs]
 
     rec = Recognizer.load(conf)
@@ -51,8 +52,8 @@ def main():
     scores = rec.am.compute(feats, acoustic_scale=opts.acoustic_scale,
                             num_frames=jnp.asarray(num_frames, jnp.int32))
     n_eps = 0 if g.folded else max(1, g.eps_depth)
-    beam0, _ = B.init_beam_batch(b, g, opts, max(1, g.closure_sweeps + 1)
-                                 if g.folded else n_eps)
+    beam0, _ = B.init_beam_host(b, g, opts, max(1, g.closure_sweeps + 1)
+                                if g.folded else n_eps)
 
     @jax.jit
     def occupancy(bm, sc, valid):
@@ -77,6 +78,17 @@ def main():
     allo = np.concatenate([occ[i, :int(num_frames[i])] for i in range(b)])
     print(f"ALL: max={allo.max()} p99={int(np.percentile(allo,99))} "
           f"p90={int(np.percentile(allo,90))} median={int(np.median(allo))}")
+    # Pool-demand view: the pooled decoder's per-frame demand is the SUM of
+    # per-lane in-beam counts (GROUP-rounded) — print its time profile so
+    # the pool schedule (per-chunk sizes) can be designed from data.
+    out = os.path.join(CACHE, f"occupancy-k{k}-b{b}.npy")
+    np.save(out, occ)
+    print(f"saved (B, T) occupancy matrix to {out}")
+    demand = (-(-occ // 128) * 128).sum(axis=0)          # (T,)
+    for lo in range(0, occ.shape[1], 64):
+        seg = demand[lo:lo + 64]
+        print(f"frames {lo:3d}-{lo + len(seg) - 1:3d}: pool demand "
+              f"max={int(seg.max()):7d} mean={int(seg.mean()):7d}")
 
 
 if __name__ == "__main__":

@@ -34,6 +34,7 @@ def test_make_buckets_split_and_order():
             assert lengths[i] <= padded
 
 
+@pytest.mark.full
 def test_decode_bucketed_matches_per_utterance(tmp_path):
     m = write_fixture_model(str(tmp_path), seed=9)
     rec = Recognizer.load(m.conf_path)

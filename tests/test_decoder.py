@@ -102,6 +102,7 @@ def test_oracle_parity_random_graphs(seed):
     assert hyp.words == want_words
 
 
+@pytest.mark.full
 def test_batch_position_invariance():
     """Transcripts must not depend on batch position (SURVEY.md §7 M4 gate)."""
     rng = np.random.RandomState(42)
@@ -118,6 +119,7 @@ def test_batch_position_invariance():
         assert s.total_cost == pytest.approx(b.total_cost, rel=1e-6)
 
 
+@pytest.mark.full
 def test_ragged_batch_num_frames():
     """Per-utterance frame counts: padding frames must be no-ops."""
     rng = np.random.RandomState(43)
@@ -153,6 +155,7 @@ def test_beam_pruning_keeps_one_best():
     assert hyp.total_cost == pytest.approx(want_cost, rel=1e-5)
 
 
+@pytest.mark.full
 def test_offload_mode_matches_device_mode():
     """Both traceback modes must produce identical hypotheses."""
     rng = np.random.RandomState(45)
@@ -170,6 +173,7 @@ def test_offload_mode_matches_device_mode():
         assert a.total_cost == pytest.approx(b.total_cost, rel=1e-6)
 
 
+@pytest.mark.full
 @pytest.mark.parametrize("seed", [0, 1, 2, 3])
 def test_fold_matches_sweeps(seed):
     """Eps-folded decode == per-frame-sweep decode on random graphs."""

@@ -42,6 +42,7 @@ def chunk_scorer(t_total, batch=1, seed=91):
     return scores_fn
 
 
+@pytest.mark.full
 def test_thirty_minute_decode_bounded_memory(graph):
     fst, tid2pdf = graph
     minutes = 30

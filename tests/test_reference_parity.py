@@ -11,6 +11,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.full
+
 from pocketkaldi_tpu import Recognizer
 from pocketkaldi_tpu.io import wav
 from pocketkaldi_tpu.tools.make_fixtures import write_fixture_model
