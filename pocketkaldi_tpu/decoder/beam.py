@@ -196,6 +196,9 @@ class GraphArrays:
     # init_beam's start-state closure uses this even when eps_depth is
     # unbounded (cyclic graphs; cycles never improve a nonnegative closure).
     closure_sweeps: int = 0
+    # Largest output label in the graph (static): lets the pooled select
+    # pack (word, word2) into one int32 sort payload when both fit 15 bits.
+    max_olabel: int = INT_MAX
 
     # Folding is rejected if it would grow the emitting arc table by more
     # than this factor (pathological closure fan-out).
@@ -236,11 +239,15 @@ class GraphArrays:
             s, src[eps_idx], fst.next_state[eps_idx], None,
             fst.olabel[eps_idx], fst.weight[eps_idx], with_pdf=False)
         closure_sweeps = int(fst.eps_closure["sweeps"]) if folded else 0
+        max_ol = int(max(int(fst.olabel.max()) if fst.olabel.size else 0,
+                         int(e_ol.max()) if e_ol.size else 0,
+                         int(e_ol2.max()) if e_ol2 is not None
+                         and e_ol2.size else 0))
         return cls(emit=emit, eps=eps, final=jnp.asarray(fst.final),
                    start_state=int(fst.start_state),
                    eps_depth=int(fst.eps_depth), folded=folded,
                    eps_bounded=bool(fst.eps_depth_bounded),
-                   closure_sweeps=closure_sweeps)
+                   closure_sweeps=closure_sweeps, max_olabel=max_ol)
 
     # Make hashable-by-identity so jitted functions can close over it.
     def __hash__(self):

@@ -224,30 +224,46 @@ def pool_frame_step(pool: PoolBeam, scores_t: jnp.ndarray,
 
     return _pool_select(all_state, all_cost, all_lane, all_prev, all_word,
                         all_word2, b, s_plus, cap, kp,
-                        jnp.float32(opts.beam), g)
+                        jnp.float32(opts.beam), g,
+                        pack_words=g.max_olabel < 32768)
 
 
 def _pool_select(state, cost, lane, prev, word, word2, b, s_plus, cap, kp,
-                 beam_width, g: GraphArrays
+                 beam_width, g: GraphArrays, pack_words: bool
                  ) -> Tuple[PoolBeam, PoolRecord, jnp.ndarray, jnp.ndarray]:
-    """Dedup + per-lane beam/cap prune + GROUP-aligned placement."""
-    n = state.shape[0]
+    """Dedup + per-lane beam/cap prune + GROUP-aligned placement.
+
+    Sort-operand diet (bandwidth is the sort's cost): ``state`` never rides
+    a sort — the dedup key ``lane·(S+1)+state`` encodes it bijectively for
+    finite entries and is recovered by one mod after sort A; and when every
+    olabel fits 15 bits (``pack_words``, checked statically at graph build)
+    the two word labels ride as ONE packed int32.  Both transforms are
+    bijective on the payloads, so selection (which is decided by the keys +
+    stable order alone) is bit-identical to the unpacked form.
+    """
     finite = jnp.isfinite(cost)
     # ---- sort A: dedup by (lane, state), min cost ----------------------
     combo = jnp.where(finite, lane * s_plus + jnp.maximum(state, 0),
                       INT_MAX)
-    sA = jax.lax.sort((combo, cost, state, prev, word, word2), num_keys=2,
-                      is_stable=True)
-    a_combo, a_cost, a_state, a_prev, a_word, a_word2 = sA
+    if pack_words:
+        payloads = (prev, word * 65536 + word2)
+    else:
+        payloads = (prev, word, word2)
+    sA = jax.lax.sort((combo, cost) + payloads, num_keys=2, is_stable=True)
+    a_combo, a_cost = sA[0], sA[1]
     keep = _first_of_run(a_combo) & (a_combo != INT_MAX)
     a_lane = jnp.where(keep, a_combo // s_plus, LANE_DEAD)
+    a_state = jnp.where(keep, a_combo % s_plus, -1)
     a_cost = jnp.where(keep, a_cost, jnp.inf)
 
     # ---- sort B: per-lane cost order; beam + cap prune -----------------
     pool, placed, overflow, demand = _rank_and_place(
-        a_lane, a_cost, a_state, (a_prev, a_word, a_word2), b, cap, kp,
-        beam_width)
-    rec_prev, rec_word, rec_word2 = placed
+        a_lane, a_cost, a_state, sA[2:], b, cap, kp, beam_width)
+    if pack_words:
+        rec_prev, packed = placed
+        rec_word, rec_word2 = packed // 65536, packed % 65536
+    else:
+        rec_prev, rec_word, rec_word2 = placed
     rec_word = jnp.where(pool.state < 0, 0, rec_word)
     rec_word2 = jnp.where(pool.state < 0, 0, rec_word2)
 
