@@ -402,6 +402,67 @@ def pool_decode_chunk(pool: PoolBeam, scores: jnp.ndarray,
     return _pool_decode_chunk_impl(pool, scores, frame_valid, g, opts)
 
 
+@partial(jax.jit, static_argnames=("g", "opts"))
+def pool_decode_chunk_grouped(pools: PoolBeam, scores, valid,
+                              g: GraphArrays, opts: DecoderOptions):
+    """Chunk scan vmapped over a leading GROUP axis: pool leaves (H, Kp_g),
+    scores (H, B_g, C, P), valid (H, B_g, C); lane ids are group-LOCAL.
+
+    Used for the burst phase (all lanes flood simultaneously, so pooling
+    across more than a few lanes buys nothing) and by the sharded streaming
+    decoder (one pool per mesh shard).  The compiled program is ONE group's
+    pool wide — ~3 min to compile through the tunneled toolchain where a
+    single provable-cap pool for the whole batch took >40 min."""
+    fn = lambda p, s, v: _pool_decode_chunk_impl(p, s, v, g, opts)
+    return jax.vmap(fn)(pools, scores, valid)
+
+
+@partial(jax.jit, static_argnames=("b", "cap", "kp_out"))
+def pool_merge_groups(pools: PoolBeam, b: int, cap: int, kp_out: int):
+    """Merge H group pools (group-local lanes, B_g per group) into ONE pool
+    over global lanes, GROUP-aligned at ``kp_out`` slots.
+
+    Returns (pool, bridge (kp_out,), overflow, demand): bridge[slot'] is the
+    token's pre-merge FLAT position (group·Kp_g + slot) — the traceback
+    crosses it once, then walks the grouped burst records.  No pruning
+    semantics change: rank cap only (idempotent on already-pruned tokens),
+    no beam re-prune."""
+    h, kp_g = pools.lane.shape
+    b_g = b // h
+    lane_l = pools.lane.reshape(-1)
+    group_of = jnp.repeat(jnp.arange(h, dtype=jnp.int32), kp_g)
+    live = lane_l != LANE_DEAD
+    lane_g = jnp.where(live, group_of * b_g + jnp.minimum(lane_l, b_g - 1),
+                       LANE_DEAD)
+    state = pools.state.reshape(-1)
+    cost = jnp.where(live & (state >= 0), pools.cost.reshape(-1), jnp.inf)
+    lane_g = jnp.where(jnp.isfinite(cost), lane_g, LANE_DEAD)
+    src = jnp.arange(h * kp_g, dtype=jnp.int32)
+    pool, placed, ov, dem = _rank_and_place(lane_g, cost, state, (src,),
+                                            b, cap, kp_out)
+    return pool, placed[0], ov, dem
+
+
+@jax.jit
+def pool_traceback_grouped(group, slot, rec: PoolRecord):
+    """Walk one GROUPED record chunk backwards for B walkers.
+
+    group/slot (B,); rec leaves (H, C, G, Kp_g).  Returns (slot', words
+    (B, C, G)); a walker's group never changes inside the burst phase."""
+    h, c, gg, kp = rec.prev.shape
+    p = jnp.swapaxes(rec.prev.reshape(h, c * gg, kp), 0, 1)[::-1]
+    w = jnp.swapaxes(rec.word.reshape(h, c * gg, kp), 0, 1)[::-1]
+
+    def step(s, xs):
+        pt, wt = xs                       # (H, Kp_g)
+        sc = jnp.maximum(s, 0)
+        return pt[group, sc], wt[group, sc]
+
+    s_final, words_rev = jax.lax.scan(step, slot, (p, w))
+    words = jnp.swapaxes(words_rev[::-1], 0, 1).reshape(-1, c, gg)
+    return s_final, words
+
+
 @partial(jax.jit, static_argnames=("kp",))
 def pool_from_beams(beam: Beam, kp: int) -> Tuple[PoolBeam, jnp.ndarray,
                                                   jnp.ndarray]:
@@ -568,6 +629,13 @@ LADDER_RATIO = 4
 # learned rungs.
 BURST_FRAMES = 16
 
+# Slot budget for one burst-phase GROUP pool: groups hold
+# floor(BURST_GROUP_SLOTS / roundup(max_active)) lanes each, so the group
+# program stays this small no matter the batch, and kp_g = lanes·roundup(K)
+# is a provable per-group cap (burst demand is per-lane-maximal, so pooling
+# across more lanes would not help during the flood anyway).
+BURST_GROUP_SLOTS = 65536
+
 
 class PooledViterbiDecoder:
     """Batched Viterbi decoder whose capacity is priced at OCCUPANCY.
@@ -659,17 +727,16 @@ class PooledViterbiDecoder:
                 return r
         raise AssertionError("pool overflow at the provable-capacity bound")
 
-    def _schedule(self, b: int, n_chunks: int):
-        """Per-chunk pool rungs: learned profile when one exists, else the
-        data-motivated default — provable-cap burst chunk (chunk 0), small
-        steady rungs after."""
-        learned = self._learned.get((b, n_chunks))
+    def _schedule(self, b: int, n_slots: int):
+        """Per-steady-chunk pool rungs (slot 0 doubles as the group→pool
+        merge target): the learned profile when one exists, else a small
+        occupancy-scaled default."""
+        learned = self._learned.get((b, n_slots))
         if learned is not None:
             return list(learned)
         if self.pool_size is not None:
-            return [self._ladder(b)[0]] * n_chunks
-        steady = self._rung_for(b * 1024, b)
-        return [self._kp_cap(b)] + [steady] * (n_chunks - 1)
+            return [self._ladder(b)[0]] * n_slots
+        return [self._rung_for(b * 1024, b)] * n_slots
 
     # ------------------------------------------------------------------
     def decode(self, scores, num_frames=None):
@@ -699,7 +766,7 @@ class PooledViterbiDecoder:
 
         # Init prologue on the host CPU backend (bit-identical; avoids
         # minutes of tunneled-TPU compile for one-shot K-wide sort programs
-        # — see beam.init_beam_host); only the packed pool crosses over.
+        # — see beam.init_beam_host); only the packed pools cross over.
         default = jax.devices()[0]
         cpu = default
         if default.platform != "cpu":
@@ -709,41 +776,70 @@ class PooledViterbiDecoder:
                 cpu = default
         g_init = self.graph if cpu is default else self.graph.cpu_mirror()
 
-        # Chunk layout: a short burst chunk (see BURST_FRAMES) + fixed-width
-        # chunks, the last padded to full width with invalid frames so chunk
-        # programs come in exactly TWO lengths regardless of T.
+        # Chunk layout: a short BURST chunk on per-GROUP pools, then
+        # fixed-width steady chunks on ONE shared pool (the last padded to
+        # full width with invalid frames, so chunk programs come in exactly
+        # two shapes regardless of T).  Grouping the burst keeps the
+        # compiled program one group wide — kp_g slots with a PROVABLE
+        # per-group cap, so the flood phase can never overflow — where a
+        # single provable-cap pool for the whole batch is a giant program
+        # this toolchain takes tens of minutes to compile; burst-phase
+        # demand is per-lane-maximal anyway, so pooling across more than a
+        # few lanes buys nothing there.
         chunk = self.opts.chunk_frames
         burst = min(BURST_FRAMES, chunk, t)
         n_rest = max(0, -(-(t - burst) // chunk))
-        bounds = [(0, burst)] + [(burst + i * chunk, burst + (i + 1) * chunk)
-                                 for i in range(n_rest)]
-        schedule = self._schedule(b, len(bounds))
+        steady_bounds = [(burst + i * chunk, burst + (i + 1) * chunk)
+                         for i in range(n_rest)]
+        n_slots = max(1, n_rest)
+        schedule = self._schedule(b, n_slots)
         growths = 0
+        cap = self.opts.max_active
 
-        def make_pool0():
-            kp0 = schedule[0]
-            with jax.default_device(cpu):
-                beam, init_rec = init_beam_batch(b, g_init, self.opts,
-                                                 self.num_eps_iters)
-                while True:
-                    p0, origin, ov = pool_from_beams(beam, kp0)
-                    if not bool(np.asarray(ov)) or kp0 >= self._kp_cap(b):
-                        break
-                    kp0 = self._next_rung(kp0, b)
-                if cpu is not default:
-                    p0 = jax.device_put(p0, default)
-            return p0, origin, init_rec, kp0
+        k_lane = _round_group(cap)
+        b_g = max(1, min(b, BURST_GROUP_SLOTS // k_lane))
+        while b % b_g:
+            b_g -= 1
+        h = b // b_g
+        kp_g = b_g * k_lane
 
-        pool0, origin, init_rec, schedule[0] = make_pool0()
+        with jax.default_device(cpu):
+            beam, init_rec = init_beam_batch(b, g_init, self.opts,
+                                             self.num_eps_iters)
+            parts = [pool_from_beams(
+                Beam(beam.state[j * b_g:(j + 1) * b_g],
+                     beam.cost[j * b_g:(j + 1) * b_g]), kp_g)
+                for j in range(h)]
+            gpools0 = PoolBeam(
+                jnp.stack([p[0].lane for p in parts]),
+                jnp.stack([p[0].state for p in parts]),
+                jnp.stack([p[0].cost for p in parts]))
+            origin = np.stack([np.asarray(p[1]) for p in parts])
+        if cpu is not default:
+            gpools0 = jax.device_put(gpools0, default)
 
-        def run_chunk(pool, lo, hi):
+        def padded_scores(lo, hi):
             hi_real = min(hi, t)
             sl = jnp.asarray(scores_fn(lo, hi_real))
             if hi_real < hi:                      # padded tail frames
                 sl = jnp.pad(sl, ((0, 0), (0, hi - hi_real), (0, 0)))
-            valid = jnp.asarray(
+            return sl
+
+        def valid_of(lo, hi):
+            return jnp.asarray(
                 np.arange(lo, hi)[None, :] < num_frames[:, None])
-            return pool_decode_chunk(pool, sl, valid, self.graph, self.opts)
+
+        # burst phase: grouped pools, provably overflow-free
+        sc0 = padded_scores(0, burst)
+        gpools, brecs, _bovs, bdems = pool_decode_chunk_grouped(
+            gpools0, sc0.reshape(h, b_g, burst, sc0.shape[-1]),
+            valid_of(0, burst).reshape(h, b_g, burst),
+            self.graph, self.opts)
+
+        def run_chunk(pool, lo, hi):
+            return pool_decode_chunk(pool, padded_scores(lo, hi),
+                                     valid_of(lo, hi), self.graph,
+                                     self.opts)
 
         def resize(pool, new_kp):
             cur = pool.lane.shape[0]
@@ -753,57 +849,73 @@ class PooledViterbiDecoder:
                 return pad_pool(pool, new_kp), None
             return shrink_pool(pool, new_kp)      # (pool, ok-flag on device)
 
-        # Lazy flag protocol: enqueue every remaining chunk, then fetch the
-        # tiny per-chunk flags ONCE; on a bad chunk (pool overflow, or the
-        # shrink entering it truncated live tokens) resume from that chunk
-        # at a corrected rung.  The no-retry fast path never syncs mid-batch.
-        pool_in = [pool0]    # pool entering chunk i (sized schedule[i])
-        pool_out = []        # pool exiting chunk i
+        def do_merge(rung):
+            return pool_merge_groups(gpools, b, min(cap, rung), rung)
+
+        # Lazy flag protocol over the steady chunks: the group→pool merge
+        # is the resize ENTERING chunk 0; per-chunk overflow / failed-shrink
+        # flags are fetched ONCE after everything is enqueued, and a bad
+        # chunk re-runs at a corrected rung.  The no-retry fast path never
+        # syncs mid-batch.
+        merged, bridge, m_ov, m_dem = do_merge(schedule[0])
+        pool_in = [merged]   # pool entering steady chunk i
+        pool_out = []        # pool exiting steady chunk i
         chunk_res = []       # (recs, ov_any, dem_max)
-        enter_ok = [None]    # shrink-validity flag for chunk i's entry
+        enter_ok = [jnp.logical_not(m_ov)]
         while True:
-            for i in range(len(chunk_res), len(bounds)):
-                p2, recs, ovs, dems = run_chunk(pool_in[i], *bounds[i])
+            for i in range(len(chunk_res), len(steady_bounds)):
+                p2, recs, ovs, dems = run_chunk(pool_in[i],
+                                                *steady_bounds[i])
                 pool_out.append(p2)
                 chunk_res.append((recs, jnp.any(ovs), jnp.max(dems)))
-                if i + 1 < len(bounds):
+                if i + 1 < len(steady_bounds):
                     nxt, ok = resize(p2, schedule[i + 1])
                     pool_in.append(nxt)
                     enter_ok.append(ok)
-            ovf = np.asarray(jnp.stack([ov for _, ov, _ in chunk_res]))
-            shrunk = np.asarray(jnp.stack(
+            ent = np.asarray(jnp.stack(
                 [jnp.asarray(True) if ok is None else ok
                  for ok in enter_ok]))
-            bad = np.nonzero(ovf | ~shrunk)[0]
+            ovf = np.zeros(len(ent), bool)
+            if chunk_res:
+                ovf[:len(chunk_res)] = np.asarray(
+                    jnp.stack([ov for _, ov, _ in chunk_res]))
+            bad = np.nonzero(ovf | ~ent)[0]
             if bad.size == 0:
                 break
             j = int(bad[0])
             growths += 1
-            if not shrunk[j]:
-                # entering shrink truncated live tokens: keep the previous
-                # chunk's (larger) rung for this chunk
-                schedule[j] = schedule[j - 1]
-            else:
-                schedule[j] = self._next_rung(schedule[j], b)
-            # rebuild the entering pool at the corrected rung and resume
             if j == 0:
-                pool0, origin, init_rec, schedule[0] = make_pool0()
-                pool_in = [pool0]
+                # merge overflowed or chunk 0 did: redo the merge one rung up
+                schedule[0] = self._next_rung(schedule[0], b)
+                merged, bridge, m_ov, m_dem = do_merge(schedule[0])
+                pool_in = [merged]
+                enter_ok = [jnp.logical_not(m_ov)]
             else:
+                if not ent[j]:
+                    # entering shrink truncated live tokens: keep the
+                    # previous chunk's (larger) rung for this chunk
+                    schedule[j] = schedule[j - 1]
+                else:
+                    schedule[j] = self._next_rung(schedule[j], b)
                 nxt, ok = resize(pool_out[j - 1], schedule[j])
                 if ok is not None and not bool(np.asarray(ok)):
                     raise AssertionError(
                         "corrected rung still truncates live tokens")
                 pool_in = pool_in[:j] + [nxt]
+                enter_ok = enter_ok[:j] + [None]
             pool_out = pool_out[:j]
             chunk_res = chunk_res[:j]
-            enter_ok = enter_ok[:j] + [None]
 
         # Telemetry + learned schedule for the next decode of this shape:
-        # per chunk, the smallest ALREADY-COMPILED rung covering its
-        # observed demand (never a fresh rung — learning must not add
-        # compiles; overflow retries still correct any surprise).
-        demands = np.asarray(jnp.stack([d for _, _, d in chunk_res]))
+        # per slot, the smallest ALREADY-COMPILED rung covering its observed
+        # demand (never a fresh rung — learning must not add compiles;
+        # overflow retries still correct any surprise).  Slot 0 covers the
+        # merge AND the first steady chunk.
+        dem_stack = np.asarray(jnp.stack(
+            [m_dem] + [d for _, _, d in chunk_res])).astype(np.int64)
+        demands = np.empty(n_slots, np.int64)
+        demands[0] = dem_stack[:2].max()
+        demands[1:] = dem_stack[2:]
         self.last_demand = demands
         self.last_pool_size = max(schedule)
         self.last_pool_growths = growths
@@ -812,27 +924,30 @@ class PooledViterbiDecoder:
         for dem, cur in zip(demands, schedule):
             cand = self._rung_for(int(dem), b)
             learned.append(cand if cand in used else cur)
-        self._learned[(b, len(bounds))] = learned
+        self._learned[(b, n_slots)] = learned
 
-        recs_list = [(recs, None) for recs, _, _ in chunk_res]
-        final_pool = pool_out[-1]
+        final_pool = pool_out[-1] if pool_out else merged
         slot, total, fin = pool_best_final(final_pool, self.graph, b)
         slot_np = np.asarray(slot)
         total = np.asarray(total)
         fin = np.asarray(fin)
 
-        # Device traceback, newest chunk first; only (B, C, 2) word planes
-        # and the final slot cross to the host.
+        # Device traceback, newest chunk first: steady chunks, then ONE
+        # crossing of the merge bridge into group space, then the grouped
+        # burst records.  Only (B, C, 2) word planes cross to the host.
         s = jnp.maximum(slot, 0)
         planes = []
-        for recs, _ in reversed(recs_list):
+        for recs, _, _ in reversed(chunk_res):
             s, words = pool_traceback_chunk(s, recs)
             planes.append(words)
+        flat = jnp.maximum(bridge[s], 0)
+        grp, gs = flat // kp_g, flat % kp_g
+        gs, bwords = pool_traceback_grouped(grp, gs, brecs)
+        planes.append(bwords)
         planes_np = [np.asarray(p) for p in reversed(planes)]
-        plane = np.concatenate(planes_np, axis=1) if planes_np else \
-            np.zeros((b, 0, 1), np.int32)
-        s_np = np.asarray(s)
-        origin_np = np.asarray(origin)
+        plane = np.concatenate(planes_np, axis=1)
+        grp_np = np.asarray(grp)
+        gs_np = np.asarray(gs)
         init_prev = np.asarray(init_rec.prev)
         init_word = np.asarray(init_rec.word)
 
@@ -842,8 +957,8 @@ class PooledViterbiDecoder:
                 out.append(Hypothesis([], 0.0, float("inf"),
                                       int(num_frames[i])))
                 continue
-            # bridge: pool slot at t=0 → this lane's per-lane init slot
-            si = int(origin_np[s_np[i]])
+            # bridge: burst-group slot at t=0 → this lane's init slot
+            si = int(origin[grp_np[i], gs_np[i]])
             words_init_rev = []
             for gen in range(init_prev.shape[1] - 1, -1, -1):
                 w = int(init_word[i, gen, si])
