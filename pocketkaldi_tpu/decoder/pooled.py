@@ -906,6 +906,10 @@ class PooledViterbiDecoder:
             pool_out = pool_out[:j]
             chunk_res = chunk_res[:j]
 
+        if bool(np.asarray(jnp.any(_bovs))):    # provably impossible
+            raise AssertionError(
+                "burst group pool overflowed its provable per-group cap")
+
         # Telemetry + learned schedule for the next decode of this shape:
         # per slot, the smallest ALREADY-COMPILED rung covering its observed
         # demand (never a fresh rung — learning must not add compiles;
