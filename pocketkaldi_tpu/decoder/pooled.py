@@ -408,11 +408,12 @@ def pool_decode_chunk_grouped(pools: PoolBeam, scores, valid,
     """Chunk scan vmapped over a leading GROUP axis: pool leaves (H, Kp_g),
     scores (H, B_g, C, P), valid (H, B_g, C); lane ids are group-LOCAL.
 
-    Used for the burst phase (all lanes flood simultaneously, so pooling
-    across more than a few lanes buys nothing) and by the sharded streaming
-    decoder (one pool per mesh shard).  The compiled program is ONE group's
-    pool wide — ~3 min to compile through the tunneled toolchain where a
-    single provable-cap pool for the whole batch took >40 min."""
+    Used by the sharded streaming decoder (one pool per mesh shard), where
+    GSPMD partitions the batch axis away so each device compiles an
+    UNBATCHED body.  CAUTION — all groups on one device: XLA:TPU takes >10
+    minutes to compile this batched scan-of-sorts where the identical
+    unbatched program takes ~2.5 min; the offline decoder therefore loops
+    one compiled per-group program instead (PooledViterbiDecoder.decode)."""
     fn = lambda p, s, v: _pool_decode_chunk_impl(p, s, v, g, opts)
     return jax.vmap(fn)(pools, scores, valid)
 
@@ -829,12 +830,29 @@ class PooledViterbiDecoder:
             return jnp.asarray(
                 np.arange(lo, hi)[None, :] < num_frames[:, None])
 
-        # burst phase: grouped pools, provably overflow-free
-        sc0 = padded_scores(0, burst)
-        gpools, brecs, _bovs, bdems = pool_decode_chunk_grouped(
-            gpools0, sc0.reshape(h, b_g, burst, sc0.shape[-1]),
-            valid_of(0, burst).reshape(h, b_g, burst),
-            self.graph, self.opts)
+        # Burst phase: grouped pools, provably overflow-free.  Groups run as
+        # a host loop over ONE compiled per-group program (dispatches are
+        # async, so groups pipeline); the vmapped formulation
+        # (pool_decode_chunk_grouped) compiles >10 min on this toolchain
+        # where the identical unbatched program takes ~2.5 min — XLA:TPU
+        # chokes on batched scan-of-sorts (docs/PERFORMANCE.md r3).
+        sc0 = padded_scores(0, burst).reshape(h, b_g, burst, -1)
+        vd0 = valid_of(0, burst).reshape(h, b_g, burst)
+        parts_out, brecs_l, bov_l = [], [], []
+        for j in range(h):
+            gp = PoolBeam(gpools0.lane[j], gpools0.state[j],
+                          gpools0.cost[j])
+            p2, recs_j, ovs_j, _d = pool_decode_chunk(
+                gp, sc0[j], vd0[j], self.graph, self.opts)
+            parts_out.append(p2)
+            brecs_l.append(recs_j)
+            bov_l.append(jnp.any(ovs_j))
+        gpools = PoolBeam(jnp.stack([p.lane for p in parts_out]),
+                          jnp.stack([p.state for p in parts_out]),
+                          jnp.stack([p.cost for p in parts_out]))
+        brecs = PoolRecord(jnp.stack([r.prev for r in brecs_l]),
+                           jnp.stack([r.word for r in brecs_l]))
+        _bovs = jnp.stack(bov_l)
 
         def run_chunk(pool, lo, hi):
             return pool_decode_chunk(pool, padded_scores(lo, hi),
