@@ -247,6 +247,12 @@ def run_rung(name, rec, waves, wav_paths, ref, runs, extra):
     utts = rec.process_batch(waves)          # warmup: compiles every program
     t_compile = time.perf_counter() - t0
     log(f"rung {name}: warmup (incl. compile) {t_compile:.1f}s")
+    # settle pass: a pooled decoder's learned schedule may introduce
+    # smaller pool rungs that compile fresh on the SECOND decode of a
+    # shape — keep that out of the timed loop
+    t0 = time.perf_counter()
+    utts = rec.process_batch(waves)
+    log(f"rung {name}: settle {time.perf_counter() - t0:.1f}s")
 
     t0 = time.perf_counter()
     for _ in range(runs):

@@ -471,6 +471,21 @@ def _split_planes(rows: jnp.ndarray, blocks: ArcBlocks):
     return nxt, pdf, olabel, olabel2, weight
 
 
+def repeat_last(x: jnp.ndarray, r: int) -> jnp.ndarray:
+    """``jnp.repeat(x, r, axis=-1)`` for a SCALAR repeat count, as a
+    broadcast + reshape.
+
+    jnp.repeat's generic lowering emits a full-size GATHER even for scalar
+    repeats — op-level tracing of the pooled frame step found three such
+    repeats costing 3-4.5 ms each at 524k elements (~55% of the whole
+    step; docs/PERFORMANCE.md r3).  The broadcast form is a contiguous
+    copy XLA fuses into consumers."""
+    if r == 1:
+        return x
+    return jnp.broadcast_to(x[..., None], x.shape + (r,)).reshape(
+        x.shape[:-1] + (x.shape[-1] * r,))
+
+
 def expand_dense(states: jnp.ndarray, costs: jnp.ndarray,
                  slots: jnp.ndarray, blocks: ArcBlocks):
     """Dense per-token expansion: every token reads its ``max_blocks`` rows.
@@ -497,8 +512,8 @@ def expand_dense(states: jnp.ndarray, costs: jnp.ndarray,
     rows = blocks.packed[blk.reshape(-1)]        # (∏lead·K·mb, P·BLOCK)
     rows = rows.reshape(states.shape[:-1] + (k * mb, width))
     nxt, pdf, olabel, olabel2, weight = _split_planes(rows, blocks)
-    tok_cost = jnp.repeat(costs, mb, axis=-1, total_repeat_length=k * mb)
-    tok_slot = jnp.repeat(slots, mb, axis=-1, total_repeat_length=k * mb)
+    tok_cost = repeat_last(costs, mb)
+    tok_slot = repeat_last(slots, mb)
     overflow = jnp.zeros(states.shape[:-1], bool)
     return nxt, pdf, olabel, olabel2, weight, tok_cost, tok_slot, overflow
 

@@ -32,30 +32,35 @@ up with the same factorized one-hot MXU lookup the per-lane decoder uses
 (`beam.lookup_scores`) — no per-candidate (lane, pdf) 2-D gather, which
 XLA:TPU would serialize.
 
-Frame step = expansion (dense block row-gather, `beam.ArcBlocks`) + three
-pool-wide sorts:
+Frame step = expansion (dense block row-gather, `beam.ArcBlocks`) + two
+pool-wide sorts + a computed placement:
   A. dedup:   sort by (lane·(S+1)+state, cost); first-of-run keeps the
               min-cost token per (lane, state)  [HashTable insert-min,
               decoder.cc:99-130, across the whole batch at once]
   B. rank:    sort by (lane, cost); per-lane beam prune vs the run head,
               per-lane rank cap (max_active)    [GetCutoff/top-K semantics]
-  C. placement: sort by the 128-aligned target slot; synthesized pad tokens
-              round each lane's survivors up to a full group.
-Sort A/B/C run over ~Kp·(arcs_per_token+1) elements; flat 2M-element sorts
-measure ~4-5 ms on v5e, independent of per-lane skew — that is the whole
-point: burst lanes no longer multiply against quiet lanes' static width.
+  placement: NOT a sort.  Survivors are a PREFIX of each lane's sorted run
+              (all pruning predicates are monotone in within-run cost
+              order), so the GROUP-aligned pool layout is an inverse map —
+              output slot p of lane l gathers source run_start[l] +
+              (p − base[l]) — one cumsum, two searchsorteds, two packed
+              row gathers (see _rank_and_place).
+The sorts run over ~Kp·(arcs_per_token+1) elements, independent of
+per-lane skew — that is the whole point: burst lanes no longer multiply
+against quiet lanes' static width.
 
 Exactness: when no frame sets the pool-overflow flag (survivors + padding
 exceeding Kp), the decode is IDENTICAL to the per-lane decoder at
 K = max_active — verified token-for-token in tests/test_pooled.py.  On
-overflow the decoder retries the chunk at the next pool-ladder rung
-(×LADDER_RATIO, ≤4 distinct compiled sizes per process; the reached rung
-carries over to the next decode), so results are never silently wrong and
-growth cannot trigger unbounded recompilation.
+overflow the decoder retries the chunk at the next pool-ladder rung (a
+static ≤6-rung set per (batch, max_active); learned per-chunk rungs carry
+over to the next decode), so results are never silently wrong and growth
+cannot trigger unbounded recompilation.
 """
 
 from __future__ import annotations
 
+import time
 from functools import partial
 from typing import NamedTuple, Tuple
 
@@ -65,8 +70,9 @@ import numpy as np
 
 from ..hparams import DecoderOptions
 from .beam import (ArcBlocks, Beam, GraphArrays, _first_of_run,
-                   _split_planes, init_beam_batch, lookup_scores_onehot,
-                   resolve_eps_iters, INT_MAX)
+                   _split_planes, decode_chunk, init_beam_batch,
+                   lookup_scores_onehot, repeat_last, resolve_eps_iters,
+                   traceback_chunk, INT_MAX)
 
 GROUP = 128          # tokens per lane-uniform score group (pool alignment)
 LANE_DEAD = INT_MAX  # lane id of the dead global tail
@@ -134,10 +140,9 @@ def _expand_pool(pool: PoolBeam, blocks: ArcBlocks):
     blk = jnp.where(j < cnt[:, None], start[:, None] + j, nb)
     rows = blocks.packed[blk.reshape(-1)].reshape(kp * mb, width)
     nxt, pdf, olabel, olabel2, weight = _split_planes(rows, blocks)
-    tok_cost = jnp.repeat(pool.cost, mb, total_repeat_length=kp * mb)
-    tok_slot = jnp.repeat(jnp.arange(kp, dtype=jnp.int32), mb,
-                          total_repeat_length=kp * mb)
-    tok_lane = jnp.repeat(pool.lane, mb, total_repeat_length=kp * mb)
+    tok_cost = repeat_last(pool.cost, mb)
+    tok_slot = repeat_last(jnp.arange(kp, dtype=jnp.int32), mb)
+    tok_lane = repeat_last(pool.lane, mb)
     return nxt, pdf, olabel, olabel2, weight, tok_cost, tok_slot, tok_lane
 
 
@@ -197,8 +202,8 @@ def pool_frame_step(pool: PoolBeam, scores_t: jnp.ndarray,
     # candidates flat
     c_state = nxt.reshape(n)
     c_cost = cand_cost.reshape(n)
-    c_lane = jnp.repeat(tok_lane, arcs, total_repeat_length=n)
-    c_prev = jnp.repeat(tok_slot, arcs, total_repeat_length=n)
+    c_lane = repeat_last(tok_lane, arcs)
+    c_prev = repeat_last(tok_slot, arcs)
     c_word = olabel.reshape(n)
     c_word2 = olabel2.reshape(n) if olabel2 is not None else \
         jnp.zeros(n, jnp.int32)
@@ -209,9 +214,7 @@ def pool_frame_step(pool: PoolBeam, scores_t: jnp.ndarray,
     keep_valid = _lane_table_lookup(frame_valid.astype(jnp.float32),
                                     pool.lane) > 0.5
     mb = nxt.shape[0] // kp_now
-    cand_valid = jnp.repeat(jnp.repeat(keep_valid, mb,
-                                       total_repeat_length=nxt.shape[0]),
-                            arcs, total_repeat_length=n)
+    cand_valid = repeat_last(repeat_last(keep_valid, mb), arcs)
     c_cost = jnp.where(cand_valid, c_cost, jnp.inf)
     k_cost = jnp.where(keep_valid | (pool.state < 0), jnp.inf, pool.cost)
     all_state = jnp.concatenate([c_state, pool.state])
@@ -276,12 +279,24 @@ def _pool_select(state, cost, lane, prev, word, word2, b, s_plus, cap, kp,
 
 
 def _rank_and_place(lane, cost, state, payloads, b, cap, kp, beam_width=None):
-    """Per-lane rank/beam prune + GROUP-aligned placement (sorts B and C).
+    """Per-lane rank/beam prune (sort B) + GROUP-aligned placement.
 
     Inputs are flat candidate arrays (lane = LANE_DEAD for dead entries);
-    within-lane ties keep input order (stable sorts).  Returns
+    within-lane ties keep input order (stable sort).  Returns
     (PoolBeam(kp), placed payloads (kp,), overflow, demand).  beam_width
-    None skips beam pruning (repack of an already-pruned token set)."""
+    None skips beam pruning (repack of an already-pruned token set).
+
+    Placement is COMPUTED, not sorted.  After sort B every lane's run is
+    cost-ascending, and all three pruning predicates are monotone in that
+    order (rank cap: by construction; beam: cost ≤ head + width; finite:
+    +inf sorts last) — so the survivors form a PREFIX of each run.  The
+    pool layout is therefore an inverse map: output slot p of lane l takes
+    source position run_start[l] + (p − base[l]), fetched with one packed
+    row gather of kp indices.  The round-2 formulation materialized pad
+    tokens and re-sorted all n candidates by target slot (a third 6-operand
+    sort) plus two (n, B) one-hot matmuls for the lane tables — measured
+    ~9 ms/frame of the 21.5 ms step at Kp=32k vs ~1 ms for this form
+    (docs/PERFORMANCE.md r3)."""
     n = state.shape[0]
     sB = jax.lax.sort((lane, cost, state) + tuple(payloads), num_keys=2,
                       is_stable=True)
@@ -296,45 +311,48 @@ def _rank_and_place(lane, cost, state, payloads, b, cap, kp, beam_width=None):
         run_best = _propagate_run_head(first, b_cost)
         alive &= b_cost <= run_best + beam_width
 
-    # ---- placement: 128-aligned target slots + synthesized pads --------
-    # per-lane alive counts (B,) via masked one-hot matmul (no scatter)
-    lane_oh = jax.nn.one_hot(jnp.clip(b_lane, 0, b - 1), b,
-                             dtype=jnp.float32) * alive[:, None]
-    counts = jnp.sum(lane_oh, axis=0).astype(jnp.int32)        # (B,)
+    # ---- per-lane survivor counts: ONE cumsum + run-boundary lookups ---
+    # b_lane is sorted ascending, so lane l's run spans
+    # bounds[l]..bounds[l+1]; alive is a prefix of each run (see above).
+    csum = jnp.cumsum(alive.astype(jnp.int32))
+    csum0 = jnp.concatenate([jnp.zeros(1, jnp.int32), csum])
+    bounds = jnp.searchsorted(
+        b_lane, jnp.arange(b + 1, dtype=b_lane.dtype), side="left"
+    ).astype(jnp.int32)
+    counts = csum0[bounds[1:]] - csum0[bounds[:-1]]             # (B,)
     padded = -(-counts // GROUP) * GROUP                        # (B,)
-    base = jnp.concatenate([jnp.zeros(1, jnp.int32),
-                            jnp.cumsum(padded)[:-1]])
-    demand = jnp.sum(padded)
+    ends = jnp.cumsum(padded)                                   # (B,)
+    demand = ends[-1]
     overflow = demand > kp
 
-    tok_base = _lane_table_lookup(base, b_lane).astype(jnp.int32)
-    target = jnp.where(alive, tok_base + rank, INT_MAX)
+    # ---- inverse placement: slot p → source position ------------------
+    p = jax.lax.broadcasted_iota(jnp.int32, (kp, 1), 0)[:, 0]
+    # tiny sorted table, kp queries: brute compare beats the binary-search
+    # scan (which would issue log2(B) rounds of kp-sized gathers)
+    lane_of = jnp.searchsorted(ends, p, side="right",
+                               method="compare_all").astype(jnp.int32)
+    safe_lane = jnp.clip(lane_of, 0, b - 1)
+    # one row gather for the three per-lane tables
+    tables = jnp.stack([ends - padded, counts, bounds[:-1]], axis=1)
+    fetched = tables[safe_lane]                                 # (kp, 3)
+    r = p - fetched[:, 0]
+    live = (lane_of < b) & (r < fetched[:, 1])
+    src = jnp.where(live, fetched[:, 2] + r, 0)
 
-    # pad tokens: GROUP per lane, alive while they round the lane up
-    pad_lane = jnp.repeat(jnp.arange(b, dtype=jnp.int32), GROUP)
-    pad_j = jnp.tile(jnp.arange(GROUP, dtype=jnp.int32), b)
-    pad_cnt = _lane_table_lookup(padded - counts, pad_lane).astype(jnp.int32)
-    pad_cnts_ok = pad_j < pad_cnt
-    pad_rank = _lane_table_lookup(counts, pad_lane).astype(jnp.int32) + pad_j
-    pad_base = _lane_table_lookup(base, pad_lane).astype(jnp.int32)
-    pad_target = jnp.where(pad_cnts_ok, pad_base + pad_rank, INT_MAX)
-
-    t_target = jnp.concatenate([target, pad_target])
-    t_lane = jnp.concatenate([b_lane, pad_lane])
-    t_state = jnp.concatenate([b_state, jnp.full(b * GROUP, -1, jnp.int32)])
-    t_cost = jnp.concatenate(
-        [jnp.where(alive, b_cost, jnp.inf),
-         jnp.full(b * GROUP, jnp.inf, jnp.float32)])
-    t_pay = tuple(
-        jnp.concatenate([p, jnp.zeros(b * GROUP, p.dtype)]) for p in b_pay)
-
-    sC = jax.lax.sort((t_target, t_lane, t_state, t_cost) + t_pay,
-                      num_keys=1, is_stable=True)
-    tail_dead = sC[0][:kp] == INT_MAX          # global dead tail
-    new_lane = jnp.where(tail_dead, LANE_DEAD, sC[1][:kp])
-    new_state = jnp.where(tail_dead, -1, sC[2][:kp])
-    pool = PoolBeam(new_lane, new_state, sC[3][:kp])
-    placed = tuple(p[:kp] for p in sC[4:])
+    # one packed row gather for all sorted operands
+    packed_rows = jnp.stack(
+        (b_state, jax.lax.bitcast_convert_type(b_cost, jnp.int32))
+        + tuple(b_pay), axis=1)                                 # (n, 2+P)
+    got = packed_rows[src]                                      # (kp, 2+P)
+    # dead padding INSIDE a run carries the run's lane id (layout
+    # invariant); only the tail past all runs is LANE_DEAD
+    out_lane = jnp.where(lane_of < b, safe_lane, LANE_DEAD)
+    out_state = jnp.where(live, got[:, 0], -1)
+    out_cost = jnp.where(
+        live, jax.lax.bitcast_convert_type(got[:, 1], jnp.float32), jnp.inf)
+    pool = PoolBeam(out_lane, out_state, out_cost)
+    placed = tuple(jnp.where(live, got[:, 2 + j], 0)
+                   for j in range(len(b_pay)))
     return pool, placed, overflow, demand
 
 
@@ -359,7 +377,7 @@ def pool_reset_lanes(pool: PoolBeam, reset_mask: jnp.ndarray,
     k_cost = jnp.where(is_reset, jnp.inf, pool.cost)
     k_lane = jnp.where(jnp.isfinite(k_cost), pool.lane, LANE_DEAD)
 
-    i_lane = jnp.repeat(jnp.arange(b, dtype=jnp.int32), k0)
+    i_lane = repeat_last(jnp.arange(b, dtype=jnp.int32), k0)
     i_state = jnp.tile(init_state, b)
     i_cost = jnp.tile(init_cost, b)
     i_live = (_lane_table_lookup(resetf, i_lane) > 0.5) & \
@@ -402,132 +420,26 @@ def pool_decode_chunk(pool: PoolBeam, scores: jnp.ndarray,
     return _pool_decode_chunk_impl(pool, scores, frame_valid, g, opts)
 
 
-@partial(jax.jit, static_argnames=("g", "opts"))
-def pool_decode_chunk_grouped(pools: PoolBeam, scores, valid,
-                              g: GraphArrays, opts: DecoderOptions):
-    """Chunk scan vmapped over a leading GROUP axis: pool leaves (H, Kp_g),
-    scores (H, B_g, C, P), valid (H, B_g, C); lane ids are group-LOCAL.
-
-    Used by the sharded streaming decoder (one pool per mesh shard), where
-    GSPMD partitions the batch axis away so each device compiles an
-    UNBATCHED body.  CAUTION — all groups on one device: XLA:TPU takes >10
-    minutes to compile this batched scan-of-sorts where the identical
-    unbatched program takes ~2.5 min; the offline decoder therefore loops
-    one compiled per-group program instead (PooledViterbiDecoder.decode)."""
-    fn = lambda p, s, v: _pool_decode_chunk_impl(p, s, v, g, opts)
-    return jax.vmap(fn)(pools, scores, valid)
-
-
-@partial(jax.jit, static_argnames=("b", "cap", "kp_out"))
-def pool_merge_groups(pools: PoolBeam, b: int, cap: int, kp_out: int):
-    """Merge H group pools (group-local lanes, B_g per group) into ONE pool
-    over global lanes, GROUP-aligned at ``kp_out`` slots.
-
-    Returns (pool, bridge (kp_out,), overflow, demand): bridge[slot'] is the
-    token's pre-merge FLAT position (group·Kp_g + slot) — the traceback
-    crosses it once, then walks the grouped burst records.  No pruning
-    semantics change: rank cap only (idempotent on already-pruned tokens),
-    no beam re-prune."""
-    h, kp_g = pools.lane.shape
-    b_g = b // h
-    lane_l = pools.lane.reshape(-1)
-    group_of = jnp.repeat(jnp.arange(h, dtype=jnp.int32), kp_g)
-    live = lane_l != LANE_DEAD
-    lane_g = jnp.where(live, group_of * b_g + jnp.minimum(lane_l, b_g - 1),
-                       LANE_DEAD)
-    state = pools.state.reshape(-1)
-    cost = jnp.where(live & (state >= 0), pools.cost.reshape(-1), jnp.inf)
-    lane_g = jnp.where(jnp.isfinite(cost), lane_g, LANE_DEAD)
-    src = jnp.arange(h * kp_g, dtype=jnp.int32)
-    pool, placed, ov, dem = _rank_and_place(lane_g, cost, state, (src,),
-                                            b, cap, kp_out)
-    return pool, placed[0], ov, dem
-
-
-@jax.jit
-def pool_traceback_grouped(group, slot, rec: PoolRecord):
-    """Walk one GROUPED record chunk backwards for B walkers.
-
-    group/slot (B,); rec leaves (H, C, G, Kp_g).  Returns (slot', words
-    (B, C, G)); a walker's group never changes inside the burst phase."""
-    h, c, gg, kp = rec.prev.shape
-    p = jnp.swapaxes(rec.prev.reshape(h, c * gg, kp), 0, 1)[::-1]
-    w = jnp.swapaxes(rec.word.reshape(h, c * gg, kp), 0, 1)[::-1]
-
-    def step(s, xs):
-        pt, wt = xs                       # (H, Kp_g)
-        sc = jnp.maximum(s, 0)
-        return pt[group, sc], wt[group, sc]
-
-    s_final, words_rev = jax.lax.scan(step, slot, (p, w))
-    words = jnp.swapaxes(words_rev[::-1], 0, 1).reshape(-1, c, gg)
-    return s_final, words
-
-
 @partial(jax.jit, static_argnames=("kp",))
 def pool_from_beams(beam: Beam, kp: int) -> Tuple[PoolBeam, jnp.ndarray,
-                                                  jnp.ndarray]:
+                                                  jnp.ndarray, jnp.ndarray]:
     """Pack per-lane (B, K) beams into a pool; returns (pool, origin,
-    overflow) where origin[p] = per-lane slot the pool token came from (-1
-    for dead) — the bridge from pooled records back into per-lane init
-    records."""
+    overflow, demand) where origin[p] = per-lane slot the pool token came
+    from (-1 for dead) — the bridge from pooled records back into per-lane
+    records — and demand is the GROUP-rounded slot requirement."""
     bsz, k = beam.state.shape
-    lane = jnp.repeat(jnp.arange(bsz, dtype=jnp.int32), k)
+    lane = repeat_last(jnp.arange(bsz, dtype=jnp.int32), k)
     state = beam.state.reshape(-1)
     cost = beam.cost.reshape(-1)
-    slot = jnp.tile(jnp.arange(k, dtype=jnp.int32), bsz)
-    n = state.shape[0]
+    slot = jnp.broadcast_to(jnp.arange(k, dtype=jnp.int32)[None],
+                            (bsz, k)).reshape(-1)
 
     finite = jnp.isfinite(cost) & (state >= 0)
     s_lane = jnp.where(finite, lane, LANE_DEAD)
-    sB = jax.lax.sort((s_lane, cost, state, slot), num_keys=2,
-                      is_stable=True)
-    b_lane, b_cost, b_state, b_slot = sB
-    first = _first_of_run(b_lane)
-    idx = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
-    rank = idx - _propagate_run_head(first, idx)
-    alive = b_lane != LANE_DEAD
-
-    lane_oh = jax.nn.one_hot(jnp.clip(b_lane, 0, bsz - 1), bsz,
-                             dtype=jnp.float32) * alive[:, None]
-    counts = jnp.sum(lane_oh, axis=0).astype(jnp.int32)
-    padded = -(-counts // GROUP) * GROUP
-    base = jnp.concatenate([jnp.zeros(1, jnp.int32),
-                            jnp.cumsum(padded)[:-1]])
-    tok_base = _lane_table_lookup(base, b_lane).astype(jnp.int32)
-    target = jnp.where(alive, tok_base + rank, INT_MAX)
-
-    pad_lane = jnp.repeat(jnp.arange(bsz, dtype=jnp.int32), GROUP)
-    pad_j = jnp.tile(jnp.arange(GROUP, dtype=jnp.int32), bsz)
-    pad_cnt = _lane_table_lookup(padded - counts, pad_lane).astype(jnp.int32)
-    pad_rank = _lane_table_lookup(counts, pad_lane).astype(jnp.int32) + pad_j
-    pad_base = _lane_table_lookup(base, pad_lane).astype(jnp.int32)
-    pad_target = jnp.where(pad_j < pad_cnt, pad_base + pad_rank, INT_MAX)
-
-    t_target = jnp.concatenate([target, pad_target])
-    t_lane = jnp.concatenate([b_lane, pad_lane])
-    t_state = jnp.concatenate([b_state,
-                               jnp.full(bsz * GROUP, -1, jnp.int32)])
-    t_cost = jnp.concatenate([jnp.where(alive, b_cost, jnp.inf),
-                              jnp.full(bsz * GROUP, jnp.inf, jnp.float32)])
-    t_slot = jnp.concatenate([jnp.where(alive, b_slot, -1),
-                              jnp.full(bsz * GROUP, -1, jnp.int32)])
-    if t_target.shape[0] < kp:            # pool wider than the source beams
-        extra = kp - t_target.shape[0]
-        t_target = jnp.pad(t_target, (0, extra), constant_values=INT_MAX)
-        t_lane = jnp.pad(t_lane, (0, extra), constant_values=LANE_DEAD)
-        t_state = jnp.pad(t_state, (0, extra), constant_values=-1)
-        t_cost = jnp.pad(t_cost, (0, extra), constant_values=np.inf)
-        t_slot = jnp.pad(t_slot, (0, extra), constant_values=-1)
-    sC = jax.lax.sort((t_target, t_lane, t_state, t_cost, t_slot),
-                      num_keys=1, is_stable=True)
-    tail_dead = sC[0][:kp] == INT_MAX
-    lane_out = jnp.where(tail_dead, LANE_DEAD, sC[1][:kp])
-    state_out = jnp.where(tail_dead, -1, sC[2][:kp])
-    pool = PoolBeam(lane_out, state_out, sC[3][:kp])
-    origin = jnp.where(tail_dead, -1, sC[4][:kp])
-    overflow = jnp.sum(padded) > kp
-    return pool, origin, overflow
+    pool, placed, overflow, demand = _rank_and_place(
+        s_lane, cost, state, (slot,), bsz, k, kp)
+    origin = jnp.where(pool.state >= 0, placed[0], -1)
+    return pool, origin, overflow, demand
 
 
 def _pool_best_final_impl(pool: PoolBeam, g: GraphArrays, batch: int):
@@ -625,17 +537,14 @@ LADDER_RATIO = 4
 # acoustics discriminate), and a batch decodes all lanes from frame 0
 # TOGETHER, so the floods synchronize — measured pool demand on the bench
 # pack is 425k slots at frame 5 vs ≤35k for mid-utterance chunks
-# (scripts/probe_occupancy.py, B=32, K=16384).  A short first chunk at the
-# provable-cap rung absorbs the flood; steady chunks then run at small
-# learned rungs.
+# (scripts/probe_occupancy.py, B=32, K=16384).  The burst chunk therefore
+# runs on the PER-LANE decoder (beam.decode_chunk at K=max_active): burst
+# demand is per-lane-maximal, so pooling buys nothing there, and the
+# batched (B, K) sorts are ~6x cheaper per element than one flat pool-wide
+# sort (docs/PERFORMANCE.md r3 phase breakdown: 279 ms/frame as 8 looped
+# 64k-slot group pools vs ~50 ms/frame per-lane).  Steady chunks then run
+# on the shared pool at small learned rungs.
 BURST_FRAMES = 16
-
-# Slot budget for one burst-phase GROUP pool: groups hold
-# floor(BURST_GROUP_SLOTS / roundup(max_active)) lanes each, so the group
-# program stays this small no matter the batch, and kp_g = lanes·roundup(K)
-# is a provable per-group cap (burst demand is per-lane-maximal, so pooling
-# across more lanes would not help during the flood anyway).
-BURST_GROUP_SLOTS = 65536
 
 
 class PooledViterbiDecoder:
@@ -694,6 +603,13 @@ class PooledViterbiDecoder:
         self.last_demand = None            # per-chunk max slot demand (np)
         # learned per-chunk rung schedule, keyed by (batch, n_chunks)
         self._learned = {}
+        # cached start-state closure per batch size: (device beam,
+        # init_prev np, init_word np) — score-independent, so computed once
+        self._init_cache = {}
+        # opt-in phase profiling: set to a StageTimers to record per-phase
+        # wall time WITH device syncs at phase boundaries (breaks dispatch
+        # pipelining — diagnostics only, never enabled on the bench path)
+        self.phase_timers = None
 
     # ------------------------------------------------------------------
     def _kp_cap(self, b: int) -> int:
@@ -704,7 +620,9 @@ class PooledViterbiDecoder:
         """The static rung set: every pool in this process is one of these,
         so compile count is bounded (VERDICT r2 weak #4).  Pinned pool_size
         anchors its own ×LADDER_RATIO ladder (test contract); auto mode uses
-        occupancy-scaled rungs {b·1024, b·2048, b·4096, cap}."""
+        occupancy-scaled rungs {b·512, b·1024, b·2048, b·4096, cap} —
+        mid-utterance chunk demand on the bench pack is b·(270..400), so
+        the b·512 rung is where most steady frames run."""
         cap = self._kp_cap(b)
         if self.pool_size is not None:
             rungs, kp = [], _round_group(self.pool_size)
@@ -713,7 +631,7 @@ class PooledViterbiDecoder:
                 kp = _round_group(kp * LADDER_RATIO)
             return rungs + [cap]
         rungs = sorted({min(_round_group(b * m), cap)
-                        for m in (1024, 2048, 4096)} | {cap})
+                        for m in (512, 1024, 2048, 4096)} | {cap})
         return rungs
 
     def _rung_for(self, demand: int, b: int) -> int:
@@ -760,6 +678,19 @@ class PooledViterbiDecoder:
         if num_frames is None:
             num_frames = [t] * b
         num_frames = np.asarray(num_frames, dtype=np.int32)
+        pt = self.phase_timers
+
+        def _mark(name, t0, *arrays):
+            if pt is None:
+                return time.perf_counter()
+            for a in arrays:
+                jax.block_until_ready(a)
+            now = time.perf_counter()
+            pt.totals[name] += now - t0
+            pt.counts[name] += 1
+            return now
+
+        t_phase = time.perf_counter()
         if b > self._max_batch:
             raise ValueError(
                 f"batch {b} too large for this graph's pooled dedup key "
@@ -777,16 +708,12 @@ class PooledViterbiDecoder:
                 cpu = default
         g_init = self.graph if cpu is default else self.graph.cpu_mirror()
 
-        # Chunk layout: a short BURST chunk on per-GROUP pools, then
-        # fixed-width steady chunks on ONE shared pool (the last padded to
-        # full width with invalid frames, so chunk programs come in exactly
-        # two shapes regardless of T).  Grouping the burst keeps the
-        # compiled program one group wide — kp_g slots with a PROVABLE
-        # per-group cap, so the flood phase can never overflow — where a
-        # single provable-cap pool for the whole batch is a giant program
-        # this toolchain takes tens of minutes to compile; burst-phase
-        # demand is per-lane-maximal anyway, so pooling across more than a
-        # few lanes buys nothing there.
+        # Chunk layout: a short BURST chunk on the PER-LANE decoder (burst
+        # demand is per-lane-maximal, so the pool buys nothing there and
+        # batched (B, K) sorts are far cheaper per element than flat
+        # pool-wide sorts), then fixed-width steady chunks on ONE shared
+        # pool (the last padded to full width with invalid frames, so chunk
+        # programs come in exactly two shapes regardless of T).
         chunk = self.opts.chunk_frames
         burst = min(BURST_FRAMES, chunk, t)
         n_rest = max(0, -(-(t - burst) // chunk))
@@ -797,27 +724,22 @@ class PooledViterbiDecoder:
         growths = 0
         cap = self.opts.max_active
 
-        k_lane = _round_group(cap)
-        b_g = max(1, min(b, BURST_GROUP_SLOTS // k_lane))
-        while b % b_g:
-            b_g -= 1
-        h = b // b_g
-        kp_g = b_g * k_lane
-
-        with jax.default_device(cpu):
-            beam, init_rec = init_beam_batch(b, g_init, self.opts,
-                                             self.num_eps_iters)
-            parts = [pool_from_beams(
-                Beam(beam.state[j * b_g:(j + 1) * b_g],
-                     beam.cost[j * b_g:(j + 1) * b_g]), kp_g)
-                for j in range(h)]
-            gpools0 = PoolBeam(
-                jnp.stack([p[0].lane for p in parts]),
-                jnp.stack([p[0].state for p in parts]),
-                jnp.stack([p[0].cost for p in parts]))
-            origin = np.stack([np.asarray(p[1]) for p in parts])
-        if cpu is not default:
-            gpools0 = jax.device_put(gpools0, default)
+        # Start beam + eps closure: score-independent, identical for every
+        # decode of this batch size — computed once on the host CPU backend
+        # (bit-identical; sidesteps minutes of tunneled-TPU compile AND
+        # multi-second host execution per decode) and cached.
+        cached = self._init_cache.get(b)
+        if cached is None:
+            with jax.default_device(cpu):
+                beam0, init_rec = init_beam_batch(b, g_init, self.opts,
+                                                  self.num_eps_iters)
+            if cpu is not default:
+                beam0 = jax.device_put(beam0, default)
+            cached = (beam0, np.asarray(init_rec.prev),
+                      np.asarray(init_rec.word))
+            self._init_cache[b] = cached
+        beam0, init_prev, init_word = cached
+        t_phase = _mark("pool/init", t_phase, beam0)
 
         def padded_scores(lo, hi):
             hi_real = min(hi, t)
@@ -830,29 +752,15 @@ class PooledViterbiDecoder:
             return jnp.asarray(
                 np.arange(lo, hi)[None, :] < num_frames[:, None])
 
-        # Burst phase: grouped pools, provably overflow-free.  Groups run as
-        # a host loop over ONE compiled per-group program (dispatches are
-        # async, so groups pipeline); the vmapped formulation
-        # (pool_decode_chunk_grouped) compiles >10 min on this toolchain
-        # where the identical unbatched program takes ~2.5 min — XLA:TPU
-        # chokes on batched scan-of-sorts (docs/PERFORMANCE.md r3).
-        sc0 = padded_scores(0, burst).reshape(h, b_g, burst, -1)
-        vd0 = valid_of(0, burst).reshape(h, b_g, burst)
-        parts_out, brecs_l, bov_l = [], [], []
-        for j in range(h):
-            gp = PoolBeam(gpools0.lane[j], gpools0.state[j],
-                          gpools0.cost[j])
-            p2, recs_j, ovs_j, _d = pool_decode_chunk(
-                gp, sc0[j], vd0[j], self.graph, self.opts)
-            parts_out.append(p2)
-            brecs_l.append(recs_j)
-            bov_l.append(jnp.any(ovs_j))
-        gpools = PoolBeam(jnp.stack([p.lane for p in parts_out]),
-                          jnp.stack([p.state for p in parts_out]),
-                          jnp.stack([p.cost for p in parts_out]))
-        brecs = PoolRecord(jnp.stack([r.prev for r in brecs_l]),
-                           jnp.stack([r.word for r in brecs_l]))
-        _bovs = jnp.stack(bov_l)
+        # Burst phase: one batched per-lane chunk at K = max_active.  A lane
+        # cannot exceed K tokens by construction, so the flood phase can
+        # never overflow, and the result is identical to any non-overflowing
+        # pooled run at cap = max_active (the tested pooled⇔per-lane
+        # equivalence, tests/test_pooled.py).
+        bbeam, brecs, bovs = decode_chunk(
+            beam0, padded_scores(0, burst), valid_of(0, burst),
+            self.graph, self.opts, self.num_eps_iters)
+        t_phase = _mark("pool/burst", t_phase, bbeam, brecs)
 
         def run_chunk(pool, lo, hi):
             return pool_decode_chunk(pool, padded_scores(lo, hi),
@@ -867,15 +775,16 @@ class PooledViterbiDecoder:
                 return pad_pool(pool, new_kp), None
             return shrink_pool(pool, new_kp)      # (pool, ok-flag on device)
 
-        def do_merge(rung):
-            return pool_merge_groups(gpools, b, min(cap, rung), rung)
+        def do_pack(rung):
+            return pool_from_beams(bbeam, rung)
 
-        # Lazy flag protocol over the steady chunks: the group→pool merge
-        # is the resize ENTERING chunk 0; per-chunk overflow / failed-shrink
+        # Lazy flag protocol over the steady chunks: the beam→pool pack is
+        # the resize ENTERING chunk 0; per-chunk overflow / failed-shrink
         # flags are fetched ONCE after everything is enqueued, and a bad
         # chunk re-runs at a corrected rung.  The no-retry fast path never
         # syncs mid-batch.
-        merged, bridge, m_ov, m_dem = do_merge(schedule[0])
+        merged, bridge, m_ov, m_dem = do_pack(schedule[0])
+        t_phase = _mark("pool/merge", t_phase, merged)
         pool_in = [merged]   # pool entering steady chunk i
         pool_out = []        # pool exiting steady chunk i
         chunk_res = []       # (recs, ov_any, dem_max)
@@ -884,8 +793,12 @@ class PooledViterbiDecoder:
             for i in range(len(chunk_res), len(steady_bounds)):
                 p2, recs, ovs, dems = run_chunk(pool_in[i],
                                                 *steady_bounds[i])
+                if pt is not None:
+                    t_phase = _mark(
+                        f"pool/steady{i}@{schedule[i]}", t_phase, p2)
                 pool_out.append(p2)
-                chunk_res.append((recs, jnp.any(ovs), jnp.max(dems)))
+                chunk_res.append((recs, jnp.any(ovs), jnp.max(dems),
+                                  dems[-1]))
                 if i + 1 < len(steady_bounds):
                     nxt, ok = resize(p2, schedule[i + 1])
                     pool_in.append(nxt)
@@ -896,16 +809,17 @@ class PooledViterbiDecoder:
             ovf = np.zeros(len(ent), bool)
             if chunk_res:
                 ovf[:len(chunk_res)] = np.asarray(
-                    jnp.stack([ov for _, ov, _ in chunk_res]))
+                    jnp.stack([ov for _, ov, _, _ in chunk_res]))
             bad = np.nonzero(ovf | ~ent)[0]
             if bad.size == 0:
+                t_phase = _mark("pool/flags", t_phase)
                 break
             j = int(bad[0])
             growths += 1
             if j == 0:
-                # merge overflowed or chunk 0 did: redo the merge one rung up
+                # pack overflowed or chunk 0 did: redo the pack one rung up
                 schedule[0] = self._next_rung(schedule[0], b)
-                merged, bridge, m_ov, m_dem = do_merge(schedule[0])
+                merged, bridge, m_ov, m_dem = do_pack(schedule[0])
                 pool_in = [merged]
                 enter_ok = [jnp.logical_not(m_ov)]
             else:
@@ -924,54 +838,65 @@ class PooledViterbiDecoder:
             pool_out = pool_out[:j]
             chunk_res = chunk_res[:j]
 
-        if bool(np.asarray(jnp.any(_bovs))):    # provably impossible
-            raise AssertionError(
-                "burst group pool overflowed its provable per-group cap")
+        # Surface burst arc-expansion overflow (same policy as the per-lane
+        # decoder: dropped arcs degrade accuracy; never silent).
+        bov_np = np.asarray(jnp.any(bovs, axis=1))
+        if bov_np.any():
+            from ..utils import logging as pk_logging
+            pk_logging.warn(
+                "burst-chunk arc-expansion overflow on %d/%d utterances: "
+                "arcs were dropped; raise DecoderOptions.expand_factor "
+                "(current budget %d blocks)",
+                int(bov_np.sum()), b, self.opts.expand_budget)
 
         # Telemetry + learned schedule for the next decode of this shape:
-        # per slot, the smallest ALREADY-COMPILED rung covering its observed
-        # demand (never a fresh rung — learning must not add compiles;
-        # overflow retries still correct any surprise).  Slot 0 covers the
-        # merge AND the first steady chunk.
+        # per slot, the smallest ladder rung covering its observed demand.
+        # A learned rung below anything used so far costs ONE extra compile
+        # on the next decode of this shape (bounded by the ladder size) and
+        # then pays off on every decode after it; overflow retries still
+        # correct any demand surprise.  Slot 0 covers the beam→pool pack
+        # AND the first steady chunk.
         dem_stack = np.asarray(jnp.stack(
-            [m_dem] + [d for _, _, d in chunk_res])).astype(np.int64)
+            [m_dem] + [d for _, _, d, _ in chunk_res])).astype(np.int64)
+        last_stack = np.asarray(jnp.stack(
+            [m_dem] + [dl for _, _, _, dl in chunk_res])).astype(np.int64)
         demands = np.empty(n_slots, np.int64)
         demands[0] = dem_stack[:2].max()
         demands[1:] = dem_stack[2:]
         self.last_demand = demands
         self.last_pool_size = max(schedule)
         self.last_pool_growths = growths
-        used = set(schedule)
-        learned = []
-        for dem, cur in zip(demands, schedule):
-            cand = self._rung_for(int(dem), b)
-            learned.append(cand if cand in used else cur)
-        self._learned[(b, n_slots)] = learned
+        # A slot's rung must also admit the live extent ENTERING it (the
+        # previous chunk's last-frame demand) or the shrink into it would
+        # truncate live tokens and flip-flop a retry on every decode.
+        enter_dem = last_stack[:n_slots]        # entering slot i: i-1's last
+        self._learned[(b, n_slots)] = [
+            self._rung_for(int(max(dem, ent)), b)
+            for dem, ent in zip(demands, enter_dem)]
 
         final_pool = pool_out[-1] if pool_out else merged
         slot, total, fin = pool_best_final(final_pool, self.graph, b)
         slot_np = np.asarray(slot)
         total = np.asarray(total)
         fin = np.asarray(fin)
+        t_phase = _mark("pool/best_final", t_phase)
 
         # Device traceback, newest chunk first: steady chunks, then ONE
-        # crossing of the merge bridge into group space, then the grouped
-        # burst records.  Only (B, C, 2) word planes cross to the host.
+        # crossing of the pack bridge into per-lane space, then the burst
+        # chunk's per-lane records.  Only (B, C, 2) word planes cross to
+        # the host.
         s = jnp.maximum(slot, 0)
         planes = []
-        for recs, _, _ in reversed(chunk_res):
+        for recs, _, _, _ in reversed(chunk_res):
             s, words = pool_traceback_chunk(s, recs)
             planes.append(words)
-        flat = jnp.maximum(bridge[s], 0)
-        grp, gs = flat // kp_g, flat % kp_g
-        gs, bwords = pool_traceback_grouped(grp, gs, brecs)
+        lane_slot = jnp.maximum(bridge[s], 0)   # pool slot → per-lane slot
+        s0, bwords = traceback_chunk(lane_slot, brecs)
         planes.append(bwords)
         planes_np = [np.asarray(p) for p in reversed(planes)]
         plane = np.concatenate(planes_np, axis=1)
-        grp_np = np.asarray(grp)
-        gs_np = np.asarray(gs)
-        init_prev = np.asarray(init_rec.prev)
-        init_word = np.asarray(init_rec.word)
+        s0_np = np.asarray(s0)
+        t_phase = _mark("pool/traceback", t_phase)
 
         out = []
         for i in range(b):
@@ -979,8 +904,8 @@ class PooledViterbiDecoder:
                 out.append(Hypothesis([], 0.0, float("inf"),
                                       int(num_frames[i])))
                 continue
-            # bridge: burst-group slot at t=0 → this lane's init slot
-            si = int(origin[grp_np[i], gs_np[i]])
+            # the burst walk ended at this lane's init-record slot
+            si = int(s0_np[i])
             words_init_rev = []
             for gen in range(init_prev.shape[1] - 1, -1, -1):
                 w = int(init_word[i, gen, si])

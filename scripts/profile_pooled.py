@@ -48,8 +48,18 @@ def main():
     print(f"warmup (incl. compile): {t_compile:.1f}s "
           f"pool={rec.decoder.last_pool_size} "
           f"growths={rec.decoder.last_pool_growths}", file=sys.stderr)
+    # settle pass: the learned schedule may introduce smaller rungs that
+    # compile fresh on the SECOND decode of a shape — keep that out of the
+    # timed section
+    t0 = time.perf_counter()
+    utts = rec.process_batch(waves)
+    print(f"settle: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
     runs = 3
+    rec.timers.reset()
+    if os.environ.get("PKTPU_POOL_PHASES"):
+        from pocketkaldi_tpu.utils.timing import StageTimers
+        rec.decoder.phase_timers = StageTimers()
     t0 = time.perf_counter()
     for _ in range(runs):
         utts = rec.process_batch(waves)
@@ -58,6 +68,17 @@ def main():
     print(f"{audio / dt:.1f} audio-s/s  (batch_wall={dt:.2f}s, "
           f"pool={rec.decoder.last_pool_size}, "
           f"growths={rec.decoder.last_pool_growths})")
+    print("stage totals over timed runs:\n" + rec.timers.report())
+    if rec.decoder.phase_timers is not None:
+        print("decode phase totals (device-synced):\n"
+              + rec.decoder.phase_timers.report())
+    dem = getattr(rec.decoder, "last_demand", None)
+    if dem is not None:
+        print("per-slot pool demand:", list(map(int, dem)))
+    learned = getattr(rec.decoder, "_learned", None)
+    if learned:
+        for key, sched in learned.items():
+            print(f"learned schedule {key}: {sched}")
     for u in utts[:3]:
         print(f"  {u.hyp[:60]!r} ll={u.loglikelihood_per_frame:.4f}",
               file=sys.stderr)

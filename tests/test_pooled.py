@@ -232,7 +232,7 @@ def test_pool_step_token_for_token():
     b = 3
     beam, _ = blib.init_beam_batch(b, g, opts, n_init)
     kp = 8 * plib.GROUP
-    pool, _origin, ov = plib.pool_from_beams(beam, kp)
+    pool, _origin, ov, _dem = plib.pool_from_beams(beam, kp)
     assert not bool(ov)
 
     scores = (rng.randn(6, b, 10) * 2.0).astype(np.float32)
@@ -275,7 +275,7 @@ def test_pool_layout_invariants():
     n_init, _ = blib.resolve_eps_iters(g, opts)
     b = 4
     beam, _ = blib.init_beam_batch(b, g, opts, n_init)
-    pool, _o, _ov = plib.pool_from_beams(beam, 8 * plib.GROUP)
+    pool, _o, _ov, _d = plib.pool_from_beams(beam, 8 * plib.GROUP)
     s_t = jnp.asarray((rng.randn(b, 10) * 2.0).astype(np.float32))
     pool, _r, ov, _dem = plib.pool_frame_step(pool, s_t,
                                               jnp.ones((b,), bool), g, opts)
