@@ -241,6 +241,9 @@ def emit(record):
 
 
 def run_rung(name, rec, waves, wav_paths, ref, runs, extra):
+    """``extra`` values may be callables: they are resolved AFTER the timed
+    decodes, so post-decode telemetry (pool_size, growths) reads the real
+    run, not the decoder's pre-run zeros."""
     import jax
     batch = len(waves)
     t0 = time.perf_counter()
@@ -287,7 +290,7 @@ def run_rung(name, rec, waves, wav_paths, ref, runs, extra):
         "parity_mismatch": worse,
         "pack": PACK_TAG,
     }
-    record.update(extra)
+    record.update({k: (v() if callable(v) else v) for k, v in extra.items()})
     emit(record)
     return record
 
@@ -329,8 +332,9 @@ def worker():
         pooled=True))
     rb = run_rung("pooled-parity", rec, waves[:32], wav_paths, ref, runs=2,
                   extra={"max_active": MAX_ACTIVE, "pooled": True,
-                         "pool_size": rec.decoder.last_pool_size,
-                         "pool_growths": rec.decoder.last_pool_growths})
+                         "pool_size": lambda: rec.decoder.last_pool_size,
+                         "pool_growths":
+                             lambda: rec.decoder.last_pool_growths})
 
     # Rung C: batch scaling — only when rung B hit a warm cache (a cold
     # B=128 pooled compile is exactly what killed the r2 bench).
@@ -341,8 +345,9 @@ def worker():
             pooled=True))
         run_rung("pooled-b128", rec2, waves, wav_paths, ref, runs=1,
                  extra={"max_active": MAX_ACTIVE, "pooled": True,
-                        "pool_size": rec2.decoder.last_pool_size,
-                        "pool_growths": rec2.decoder.last_pool_growths})
+                        "pool_size": lambda: rec2.decoder.last_pool_size,
+                        "pool_growths":
+                            lambda: rec2.decoder.last_pool_growths})
     else:
         log(f"skipping rung pooled-b128 (rung B warmup "
             f"{rb['warmup_s']:.0f}s = cold cache)")

@@ -803,13 +803,17 @@ class PooledViterbiDecoder:
                     nxt, ok = resize(p2, schedule[i + 1])
                     pool_in.append(nxt)
                     enter_ok.append(ok)
-            ent = np.asarray(jnp.stack(
+            # ONE flag fetch per retry round: entering-resize ok flags and
+            # per-chunk overflow flags cross together (each extra round trip
+            # costs ~100 ms once a big chunk program has run).
+            flags = np.asarray(jnp.stack(
                 [jnp.asarray(True) if ok is None else ok
-                 for ok in enter_ok]))
+                 for ok in enter_ok]
+                + [ov for _, ov, _, _ in chunk_res]))
+            ent = flags[:len(enter_ok)]
             ovf = np.zeros(len(ent), bool)
             if chunk_res:
-                ovf[:len(chunk_res)] = np.asarray(
-                    jnp.stack([ov for _, ov, _, _ in chunk_res]))
+                ovf[:len(chunk_res)] = flags[len(enter_ok):]
             bad = np.nonzero(ovf | ~ent)[0]
             if bad.size == 0:
                 t_phase = _mark("pool/flags", t_phase)
@@ -838,9 +842,66 @@ class PooledViterbiDecoder:
             pool_out = pool_out[:j]
             chunk_res = chunk_res[:j]
 
+        # --- one-fetch epilogue -------------------------------------------
+        # A large pooled-chunk program leaves the tunneled device's
+        # host<->device link latency-degraded (~100 ms per round trip;
+        # docs/PERFORMANCE.md r3 sync-overhead note), so every epilogue
+        # product — final selection, traceback word planes, overflow flags,
+        # demand telemetry — is packed into ONE int32 vector on device and
+        # crosses with a single transfer.
+        final_pool = pool_out[-1] if pool_out else merged
+        slot, total, fin = pool_best_final(final_pool, self.graph, b)
+        t_phase = _mark("pool/best_final", t_phase)
+
+        # Device traceback, newest chunk first: steady chunks, then ONE
+        # crossing of the pack bridge into per-lane space, then the burst
+        # chunk's per-lane records.  Only (B, C, 2) word planes cross to
+        # the host.
+        s = jnp.maximum(slot, 0)
+        planes = []
+        for recs, _, _, _ in reversed(chunk_res):
+            s, words = pool_traceback_chunk(s, recs)
+            planes.append(words)
+        lane_slot = jnp.maximum(bridge[s], 0)   # pool slot → per-lane slot
+        s0, bwords = traceback_chunk(lane_slot, brecs)
+        planes.append(bwords)
+        plane_dev = jnp.concatenate(list(reversed(planes)), axis=1)
+        t_phase = _mark("pool/traceback", t_phase)
+
+        nrec = 1 + len(chunk_res)
+        packed = jnp.concatenate([
+            slot.astype(jnp.int32),
+            jax.lax.bitcast_convert_type(total, jnp.int32),
+            jax.lax.bitcast_convert_type(fin, jnp.int32),
+            jnp.any(bovs, axis=1).astype(jnp.int32),
+            s0.astype(jnp.int32),
+            jnp.stack([m_dem] + [d for _, _, d, _ in chunk_res]
+                      ).astype(jnp.int32),
+            jnp.stack([m_dem] + [dl for _, _, _, dl in chunk_res]
+                      ).astype(jnp.int32),
+            plane_dev.reshape(-1).astype(jnp.int32),
+        ])
+        host = np.asarray(packed)
+        t_phase = _mark("pool/fetch", t_phase)
+        o = 0
+
+        def take(n):
+            nonlocal o
+            out = host[o:o + n]
+            o += n
+            return out
+
+        slot_np = take(b)
+        total = take(b).view(np.float32)
+        fin = take(b).view(np.float32)
+        bov_np = take(b).astype(bool)
+        s0_np = take(b)
+        dem_stack = take(nrec).astype(np.int64)
+        last_stack = take(nrec).astype(np.int64)
+        plane = host[o:].reshape(b, -1)
+
         # Surface burst arc-expansion overflow (same policy as the per-lane
         # decoder: dropped arcs degrade accuracy; never silent).
-        bov_np = np.asarray(jnp.any(bovs, axis=1))
         if bov_np.any():
             from ..utils import logging as pk_logging
             pk_logging.warn(
@@ -856,10 +917,6 @@ class PooledViterbiDecoder:
         # then pays off on every decode after it; overflow retries still
         # correct any demand surprise.  Slot 0 covers the beam→pool pack
         # AND the first steady chunk.
-        dem_stack = np.asarray(jnp.stack(
-            [m_dem] + [d for _, _, d, _ in chunk_res])).astype(np.int64)
-        last_stack = np.asarray(jnp.stack(
-            [m_dem] + [dl for _, _, _, dl in chunk_res])).astype(np.int64)
         demands = np.empty(n_slots, np.int64)
         demands[0] = dem_stack[:2].max()
         demands[1:] = dem_stack[2:]
@@ -873,30 +930,6 @@ class PooledViterbiDecoder:
         self._learned[(b, n_slots)] = [
             self._rung_for(int(max(dem, ent)), b)
             for dem, ent in zip(demands, enter_dem)]
-
-        final_pool = pool_out[-1] if pool_out else merged
-        slot, total, fin = pool_best_final(final_pool, self.graph, b)
-        slot_np = np.asarray(slot)
-        total = np.asarray(total)
-        fin = np.asarray(fin)
-        t_phase = _mark("pool/best_final", t_phase)
-
-        # Device traceback, newest chunk first: steady chunks, then ONE
-        # crossing of the pack bridge into per-lane space, then the burst
-        # chunk's per-lane records.  Only (B, C, 2) word planes cross to
-        # the host.
-        s = jnp.maximum(slot, 0)
-        planes = []
-        for recs, _, _, _ in reversed(chunk_res):
-            s, words = pool_traceback_chunk(s, recs)
-            planes.append(words)
-        lane_slot = jnp.maximum(bridge[s], 0)   # pool slot → per-lane slot
-        s0, bwords = traceback_chunk(lane_slot, brecs)
-        planes.append(bwords)
-        planes_np = [np.asarray(p) for p in reversed(planes)]
-        plane = np.concatenate(planes_np, axis=1)
-        s0_np = np.asarray(s0)
-        t_phase = _mark("pool/traceback", t_phase)
 
         out = []
         for i in range(b):

@@ -146,6 +146,10 @@ def compute_fbank(wave: jnp.ndarray, num_frames: int,
     Batched use: ``jax.vmap(lambda w: compute_fbank(w, T, opts))`` or call with
     a leading batch axis — every op here broadcasts over leading axes.
     """
+    # int16 input is accepted and upcast on device: the wave is 16-bit PCM
+    # at the source, so callers may ship half the bytes over the (tunneled,
+    # latency-heavy) host->device link; int16 -> float32 is exact.
+    wave = wave.astype(jnp.float32)
     frames = frame_signal(wave, num_frames, opts)
     frames = process_frames(frames, opts)
     return fbank_from_frames(frames, opts)

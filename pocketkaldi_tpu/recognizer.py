@@ -143,6 +143,15 @@ class Recognizer:
         batch = np.zeros((b, pad_to), dtype=np.float32)
         for i, w in enumerate(waves):
             batch[i, :lengths[i]] = w
+        # Ship int16 when the waves are exactly 16-bit PCM (the usual case:
+        # they came off disk as int16): halves the host->device bytes on a
+        # link where a large pooled-decode program degrades transfer to
+        # ~25 MB/s (docs/PERFORMANCE.md r3 sync-overhead note).  int16 ->
+        # float32 is exact, so results are bit-identical.
+        if batch.nbytes > (1 << 21):
+            as_i16 = batch.astype(np.int16)
+            if np.array_equal(as_i16, batch):
+                batch = as_i16
 
         with self.timers.stage("Fbank"):
             feats = compute_fbank(jnp.asarray(batch), opts.num_frames(pad_to),

@@ -18,7 +18,7 @@ CACHE = os.path.join(REPO, ".cache")
 import numpy as np
 import jax
 
-jax.config.update("jax_compilation_cache_dir", os.path.join(CACHE, "jaxcache"))
+jax.config.update("jax_compilation_cache_dir", os.path.join(REPO, "bench_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 from pocketkaldi_tpu.hparams import DecoderOptions
