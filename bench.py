@@ -296,6 +296,11 @@ def run_rung(name, rec, waves, wav_paths, ref, runs, extra):
 
 
 def worker():
+    # Learned pool-rung schedules persist next to the compile cache so the
+    # first decode of each bench shape runs retry-free in a fresh process
+    # (a retry = an extra multi-minute tunneled compile).
+    os.environ.setdefault("PKTPU_POOL_SCHEDULES",
+                          os.path.join(JAX_CACHE, "pool_schedules.json"))
     import jax
     jax.config.update("jax_compilation_cache_dir", JAX_CACHE)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

@@ -148,7 +148,8 @@ class Recognizer:
         # link where a large pooled-decode program degrades transfer to
         # ~25 MB/s (docs/PERFORMANCE.md r3 sync-overhead note).  int16 ->
         # float32 is exact, so results are bit-identical.
-        if batch.nbytes > (1 << 21):
+        if batch.nbytes > (1 << 21) and np.all(np.isfinite(batch)) \
+                and np.all(np.abs(batch) <= 32767):
             as_i16 = batch.astype(np.int16)
             if np.array_equal(as_i16, batch):
                 batch = as_i16

@@ -15,7 +15,7 @@ import jax.numpy as jnp
 import numpy as np
 
 jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(REPO, "bench_cache"))
+                  os.path.join(REPO, ".cache", "jaxcache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 from pocketkaldi_tpu.decoder import beam as B

@@ -16,7 +16,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-jax.config.update("jax_compilation_cache_dir", os.path.join(REPO, "bench_cache"))
+jax.config.update("jax_compilation_cache_dir", os.path.join(REPO, ".cache", "jaxcache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 from pocketkaldi_tpu.decoder import beam as B

@@ -23,7 +23,7 @@ def main():
     import jax
     import jax.numpy as jnp
     jax.config.update("jax_compilation_cache_dir",
-                      os.path.join(REPO, "bench_cache"))
+                      os.path.join(REPO, ".cache", "jaxcache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
     b = int(sys.argv[1]) if len(sys.argv) > 1 else 32

@@ -18,7 +18,10 @@ CACHE = os.path.join(REPO, ".cache")
 import numpy as np
 import jax
 
-jax.config.update("jax_compilation_cache_dir", os.path.join(REPO, "bench_cache"))
+os.environ.setdefault(
+    "PKTPU_POOL_SCHEDULES",
+    os.path.join(REPO, ".cache", "pool_schedules.json"))
+jax.config.update("jax_compilation_cache_dir", os.path.join(REPO, ".cache", "jaxcache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 from pocketkaldi_tpu.hparams import DecoderOptions
