@@ -864,6 +864,61 @@ def decode_chunk(beam: Beam, scores: jnp.ndarray, frame_valid: jnp.ndarray,
     return new_beam, recs, jnp.swapaxes(ovs, 0, 1)
 
 
+@partial(jax.jit, static_argnames=("g", "opts", "num_eps_iters", "k"))
+def decode_chunk_k(beam: Beam, scores: jnp.ndarray, frame_valid: jnp.ndarray,
+                   g: GraphArrays, opts: DecoderOptions, num_eps_iters: int,
+                   k: int):
+    """``decode_chunk`` at an explicit beam capacity ``k``, plus occupancy.
+
+    The burst phase's flood is K-shaped in time (measured per-lane demand:
+    ≤2k tokens on frames 0–3, the full cap on 4–8, ≤8k on 9–15 —
+    scripts/probe_occupancy.py), so its sub-chunks run at per-segment
+    capacities learned from occupancy.  Returns (beam', records, overflow,
+    full) where ``full`` (B,) is True when some frame ended with EVERY slot
+    live — at k < max_active that means top-k MAY have truncated tokens the
+    full-capacity beam would keep, so the caller must retry the segment at
+    a higher rung (conservative: an exactly-full beam with no true
+    truncation also trips it; the learned rung is chosen strictly above
+    observed occupancy so steady state never retries).  At k == max_active
+    the flag is meaningless (the cap IS the semantics) and callers ignore
+    it.  Capacity is carried by the BEAM SHAPE (select_beam sizes its top-K
+    from it), so ``opts`` passes through unchanged; ``k`` is static only to
+    key the compile and the full-flag comparison."""
+    assert beam.state.shape[-1] == k
+    def body(b, xs):
+        s_t, v_t = xs
+        b2, rec, ov = frame_step(b, s_t, v_t, g, opts, num_eps_iters)
+        live = jnp.sum(b2.state >= 0, axis=-1)          # (B,)
+        return b2, (rec, ov, live)
+
+    xs = (jnp.swapaxes(scores, 0, 1), jnp.swapaxes(frame_valid, 0, 1))
+    new_beam, (recs, ovs, lives) = jax.lax.scan(body, beam, xs)
+    recs = StepRecord(jnp.swapaxes(recs.prev, 0, 1),
+                      jnp.swapaxes(recs.word, 0, 1))
+    full = jnp.any(jnp.swapaxes(lives, 0, 1) >= k, axis=1)      # (B,)
+    occ = jnp.max(lives)                                        # scalar
+    return new_beam, recs, jnp.swapaxes(ovs, 0, 1), full, occ
+
+
+def pad_beam(beam: Beam, k_new: int) -> Beam:
+    """Widen a beam with dead tail slots (live slots are a cost-sorted
+    prefix, so indices — hence backpointers — are unchanged)."""
+    extra = k_new - beam.state.shape[-1]
+    assert extra >= 0
+    pad = [(0, 0)] * (beam.state.ndim - 1) + [(0, extra)]
+    return Beam(jnp.pad(beam.state, pad, constant_values=-1),
+                jnp.pad(beam.cost, pad, constant_values=np.inf))
+
+
+@partial(jax.jit, static_argnames=("k_new",))
+def shrink_beam(beam: Beam, k_new: int) -> Tuple[Beam, jnp.ndarray]:
+    """Slice a beam to ``k_new`` slots; ``ok`` False when live tokens
+    extend past the cut (select_beam output is cost-ascending, so live
+    tokens form a prefix and the check is exact)."""
+    ok = jnp.all(beam.state[..., k_new:] < 0)
+    return Beam(beam.state[..., :k_new], beam.cost[..., :k_new]), ok
+
+
 @partial(jax.jit, static_argnames=("batch", "g", "opts", "num_eps_iters"))
 def init_beam_batch(batch: int, g: GraphArrays, opts: DecoderOptions,
                     num_eps_iters: int) -> Tuple[Beam, StepRecord]:
