@@ -1,0 +1,136 @@
+"""Pooled long audio: bounded record memory (VERDICT r3 weak #4 / next #4).
+
+The pooled decoder's device path accumulates every steady chunk's
+(C, 2, Kp) records in HBM until the epilogue traceback — O(T·Kp) for the
+whole utterance, the same whole-utterance materialization SURVEY §5.7 told
+the rebuild to avoid (the reference's ``src/decodable.cc:13-14`` is the
+anti-pattern).  ``offload_records=True`` streams each chunk's records to
+the host and walks the traceback there; these tests pin
+
+  * equivalence: offload decode == device decode == per-lane decode on a
+    prefix (words + costs);
+  * the 30-minute proof: live device memory stays O(chunk) with
+    ``pooled=True``.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from pocketkaldi_tpu.decoder import PooledViterbiDecoder, ViterbiDecoder
+from pocketkaldi_tpu.hparams import DecoderOptions
+from pocketkaldi_tpu.tools.make_fixtures import make_decoding_graph
+
+P = 16          # pdfs
+FPS = 100       # frames per second (10 ms shift)
+
+
+@pytest.fixture(scope="module")
+def graph():
+    for seed in range(90, 140):
+        rng = np.random.RandomState(seed)
+        fst = make_decoding_graph(rng, 40, 30, 10)
+        if fst.eps_closure is not None:     # pooled needs a foldable graph
+            tid2pdf = rng.randint(0, P, size=31).astype(np.int32)
+            return fst, tid2pdf
+    raise AssertionError("no foldable graph in 50 seeds")
+
+
+def chunk_scorer(t_total, batch=1, seed=91):
+    def scores_fn(lo, hi):
+        out = np.empty((batch, hi - lo, P), np.float32)
+        for t in range(lo, hi):
+            out[:, t - lo] = np.random.RandomState(seed + t) \
+                .randn(batch, P).astype(np.float32) * 2.0
+        return out
+    return scores_fn
+
+
+def test_pooled_offload_matches_device_and_per_lane(graph):
+    """Offload mode is pure plumbing: words + costs identical to the
+    device-resident pooled path and the per-lane decoder."""
+    fst, tid2pdf = graph
+    t = 200
+    b = 3
+    fn = chunk_scorer(t, batch=b)
+    scores = fn(0, t)
+    base = DecoderOptions(max_active=32, expand_factor=8, chunk_frames=64,
+                          fold_eps=True)
+    lane = ViterbiDecoder(fst, tid2pdf, base).decode(scores)
+    device = PooledViterbiDecoder(fst, tid2pdf, base).decode(scores)
+    off_opts = DecoderOptions(max_active=32, expand_factor=8,
+                              chunk_frames=64, fold_eps=True,
+                              offload_records=True)
+    offload = PooledViterbiDecoder(fst, tid2pdf, off_opts).decode(
+        fn, num_frames=[t] * b)
+    for a, d, o in zip(lane, device, offload):
+        assert o.words == d.words == a.words
+        assert o.total_cost == pytest.approx(d.total_cost, rel=1e-6)
+        assert o.total_cost == pytest.approx(a.total_cost, rel=1e-6)
+
+
+def test_pooled_offload_ragged_and_short(graph):
+    """Ragged lengths + an utterance shorter than the burst chunk."""
+    fst, tid2pdf = graph
+    b, t = 3, 40
+    fn = chunk_scorer(t, batch=b, seed=500)
+    scores = fn(0, t)
+    lengths = [9, 40, 25]      # lane 0 ends inside the burst chunk
+    base = DecoderOptions(max_active=32, expand_factor=8, chunk_frames=16,
+                          fold_eps=True)
+    device = PooledViterbiDecoder(fst, tid2pdf, base).decode(
+        scores, num_frames=lengths)
+    off = PooledViterbiDecoder(
+        fst, tid2pdf,
+        DecoderOptions(max_active=32, expand_factor=8, chunk_frames=16,
+                       fold_eps=True, offload_records=True)).decode(
+        fn, num_frames=lengths)
+    for d, o in zip(device, off):
+        assert o.words == d.words
+        assert o.total_cost == pytest.approx(d.total_cost, rel=1e-6)
+        assert o.num_frames == d.num_frames
+
+
+@pytest.mark.full
+def test_thirty_minute_pooled_decode_bounded_memory(graph):
+    fst, tid2pdf = graph
+    minutes = 30
+    t_total = minutes * 60 * FPS                       # 180,000 frames
+    chunk = 512
+    opts = DecoderOptions(max_active=32, expand_factor=8,
+                          chunk_frames=chunk, offload_records=True,
+                          fold_eps=True, pooled=True)
+    dec = PooledViterbiDecoder(fst, tid2pdf, opts)
+
+    peak = {"bytes": 0}
+    base_fn = chunk_scorer(t_total)
+
+    def watched_fn(lo, hi):
+        live = sum(int(np.prod(a.shape)) * a.dtype.itemsize
+                   for a in jax.live_arrays())
+        peak["bytes"] = max(peak["bytes"], live)
+        return base_fn(lo, hi)
+
+    hyp = dec.decode(watched_fn, num_frames=[t_total])[0]
+    assert hyp.num_frames == t_total
+    assert not hyp.empty
+    assert np.isfinite(hyp.total_cost)
+
+    # O(chunk) device memory: per-chunk pooled records dominate —
+    # (chunk, 2, Kp) int32 ×2 + the chunk's scores + graph tables.
+    kp = dec._kp_cap(1)
+    chunk_bytes = 2 * chunk * 2 * kp * 4 + chunk * P * 4
+    graph_bytes = sum(int(np.prod(a.shape)) * a.dtype.itemsize
+                      for tbl in (dec.graph.emit, dec.graph.eps)
+                      for a in (tbl.packed, tbl.blk_ptr))
+    full_scores = t_total * P * 4
+    full_records = 2 * t_total * 2 * kp * 4
+    budget = graph_bytes + 8 * chunk_bytes + (1 << 20)
+    assert peak["bytes"] <= budget, \
+        f"peak {peak['bytes']} > budget {budget}"
+    assert peak["bytes"] < 0.02 * (full_scores + full_records)
+
+    print(f"\n[pooled long-audio] peak live device bytes: "
+          f"{peak['bytes']:,} (device-resident pooled records would need "
+          f"≥ {full_records:,})")
