@@ -234,7 +234,10 @@ class GraphArrays:
                     "foldable (eps cycle, >2 words on a min-cost eps path, "
                     "or arc blowup)")
 
-        emit = _build_blocks(s, e_src, e_nxt, e_pdf, e_ol, e_w, e_ol2)
+        import os as _os
+        blk_override = int(_os.environ.get("PKTPU_EMIT_BLOCK", "0")) or None
+        emit = _build_blocks(s, e_src, e_nxt, e_pdf, e_ol, e_w, e_ol2,
+                             block=blk_override)
         eps = _build_blocks(
             s, src[eps_idx], fst.next_state[eps_idx], None,
             fst.olabel[eps_idx], fst.weight[eps_idx], with_pdf=False)

@@ -82,19 +82,20 @@ GROUP = 128          # tokens per lane-uniform score group (pool alignment)
 LANE_DEAD = INT_MAX  # lane id of the dead global tail
 
 
-def _score_fuse_on(width: int) -> bool:
+def _score_fuse_on(width: int, num_scores: int) -> bool:
     """Use the Pallas fused scoring kernel for this candidate width?
 
     Requires a whole number of (SUB·LANE) tiles per group, a TPU backend
-    whose Mosaic accepts the kernel (``score_fuse.available()`` probes a
-    tiny compile once), and no ``PKTPU_NO_SCORE_FUSE`` override (the A/B
-    switch the in-context measurements use)."""
+    whose Mosaic accepts the kernel at THIS shape family
+    (``score_fuse.available()`` probe-compiles it once per family), and no
+    ``PKTPU_NO_SCORE_FUSE`` override (the A/B switch the in-context
+    measurements use)."""
     if os.environ.get("PKTPU_NO_SCORE_FUSE"):
         return False
     from ..ops import score_fuse
     if width % (score_fuse.SUB * score_fuse.LANE) != 0:
         return False
-    return score_fuse.available()
+    return score_fuse.available(width, num_scores)
 
 
 class PoolBeam(NamedTuple):
@@ -216,7 +217,7 @@ def pool_frame_step(pool: PoolBeam, scores_t: jnp.ndarray,
     # owned by group_lane[g] (pool alignment invariant).
     pdf_g = pdf.reshape(ng, -1)
     w = pdf_g.shape[1]
-    if _score_fuse_on(w):
+    if _score_fuse_on(w, scores_t.shape[-1]):
         # Pallas kernel: the (W, 128) one-hot lives in VMEM instead of
         # round-tripping HBM, and the cost arithmetic fuses in (VERDICT r3
         # weak #3: wire it or delete it — measured in-context on TPU,
@@ -737,9 +738,15 @@ class PooledViterbiDecoder:
         """The static rung set: every pool in this process is one of these,
         so compile count is bounded (VERDICT r2 weak #4).  Pinned pool_size
         anchors its own ×LADDER_RATIO ladder (test contract); auto mode uses
-        occupancy-scaled rungs {b·512, b·1024, b·2048, b·4096, cap} —
-        mid-utterance chunk demand on the bench pack is b·(270..400), so
-        the b·512 rung is where most steady frames run."""
+        occupancy-scaled rungs b·{512, 768, 1024, 1536, …} — a ×1.5/×2
+        alternation whose sort lengths stay in the fast 2^k / 3·2^k
+        families (sort cost depends on the length's FACTORIZATION —
+        docs/PERFORMANCE.md r4 — and 16·b·512·2^j is 2^k for the usual
+        power-of-two batches while the ×1.5 rungs give 3·2^k).  The finer
+        ladder matters on tail-heavy demand: the bench's last chunk demands
+        69.5k slots, and serving it at 3·32768=98304 instead of 131072 cuts
+        that chunk's sort work 25%.  Only rungs a schedule actually uses
+        ever compile."""
         cap = self._kp_cap(b)
         if self.pool_size is not None:
             rungs, kp = [], _round_group(self.pool_size)
@@ -748,7 +755,8 @@ class PooledViterbiDecoder:
                 kp = _round_group(kp * LADDER_RATIO)
             return rungs + [cap]
         rungs = sorted({min(_round_group(b * m), cap)
-                        for m in (512, 1024, 2048, 4096)} | {cap})
+                        for m in (512, 768, 1024, 1536, 2048, 3072,
+                                  4096, 6144, 8192)} | {cap})
         return rungs
 
     def _rung_for(self, demand: int, b: int) -> int:

@@ -118,30 +118,34 @@ def fused_cand_cost(scores: jnp.ndarray, pdf: jnp.ndarray,
       tok_cost.reshape(b, n // LANE, LANE)).reshape(b, n)
 
 
-_AVAILABLE = None
+_AVAILABLE = {}
 
 
-def available() -> bool:
-    """Probe-compile the kernel once; False when Mosaic/backend refuses.
+def available(width: int = SUB * LANE, num_scores: int = LANE) -> bool:
+    """Probe-compile the kernel at the CALLER'S shape family; False when
+    Mosaic/backend refuses.
 
     The tunneled-TPU Mosaic service rejected some fused kernels in earlier
-    rounds (HTTP 500, docs/PERFORMANCE.md) — the decoder must degrade to the
-    XLA one-hot path rather than fail to trace.
+    rounds (HTTP 500, docs/PERFORMANCE.md) and acceptance can depend on the
+    block geometry, so the probe runs with the caller's (width, table-rows)
+    — a tiny-shape probe passing while the real shape crashes the compile
+    would take down the whole chunk program (the kernel sits inside a
+    scanned jit).  One probe compile per shape family, cached.
     """
-    global _AVAILABLE
-    if _AVAILABLE is None:
+    key = (int(width), -(-int(num_scores) // LANE))
+    if key not in _AVAILABLE:
         try:
             if jax.default_backend() != "tpu":
-                _AVAILABLE = False
+                _AVAILABLE[key] = False
             else:
-                s = jnp.zeros((1, LANE), jnp.float32)
-                z = jnp.zeros((1, SUB * LANE), jnp.float32)
-                i = jnp.zeros((1, SUB * LANE), jnp.int32)
+                s = jnp.zeros((1, num_scores), jnp.float32)
+                z = jnp.zeros((1, width), jnp.float32)
+                i = jnp.zeros((1, width), jnp.int32)
                 fused_cand_cost(s, i, z, z).block_until_ready()
-                _AVAILABLE = True
+                _AVAILABLE[key] = True
         except Exception:   # noqa: BLE001 — any compile/runtime refusal
-            _AVAILABLE = False
-    return _AVAILABLE
+            _AVAILABLE[key] = False
+    return _AVAILABLE[key]
 
 
 def reference_cand_cost(scores, pdf, weight, tok_cost):

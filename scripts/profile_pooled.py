@@ -33,6 +33,7 @@ def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 32
     k = int(sys.argv[2]) if len(sys.argv) > 2 else 16384
     pool_size = int(sys.argv[3]) if len(sys.argv) > 3 else 0
+    chunk = int(sys.argv[4]) if len(sys.argv) > 4 else 64
     conf = os.path.join(CACHE, "benchmodel-p16-ws1-we0.3", "model.conf")
     wavs = [os.path.join(CACHE, "benchwavs-seg1", f"utt{i:03d}.wav")
             for i in range(batch)]
@@ -40,7 +41,7 @@ def main():
 
     rec = Recognizer.load(conf)
     rec.set_decoder_opts(DecoderOptions(
-        max_active=k, expand_factor=8, chunk_frames=64, pooled=True,
+        max_active=k, expand_factor=8, chunk_frames=chunk, pooled=True,
         pool_size=pool_size or None))
     print(f"backend={jax.default_backend()} B={batch} K={k} "
           f"pool_size={pool_size or 'auto'}", file=sys.stderr)
