@@ -58,9 +58,14 @@ def _choose_block(max_degree: int) -> int:
     Dense expansion fetches ``mb = ceil(max_degree / b)`` rows of ``b`` lanes
     per token, so the candidate count is K·mb·b and the gather index count is
     K·mb.  Minimize lanes first (drives score-lookup and sort sizes), then
-    blocks (drives gather indices): e.g. max degree 10 → 1×16 beats 2×8."""
+    blocks (drives gather indices).  Width candidates are NOT restricted to
+    powers of two: the bench graph's max folded degree is 10, and running
+    10-wide blocks instead of 16 cut the pooled frame step's candidate
+    count 37.5% for a measured 33.6 → 38.9 audio-s/s at exact parity
+    (docs/PERFORMANCE.md r4 — sort cost tracks element count; the 10·2^k
+    and 12·2^k length families run as fast as 2^k in context)."""
     best = None
-    for b in (8, 16, 32, 64):
+    for b in (8, 10, 12, 16, 24, 32, 48, 64):
         mb = max(1, -(-max_degree // b))
         key = (mb * b, mb)
         if best is None or key < best[0]:

@@ -755,7 +755,7 @@ class PooledViterbiDecoder:
                 kp = _round_group(kp * LADDER_RATIO)
             return rungs + [cap]
         rungs = sorted({min(_round_group(b * m), cap)
-                        for m in (512, 768, 1024, 1536, 2048, 3072,
+                        for m in (384, 512, 768, 1024, 1536, 2048, 3072,
                                   4096, 6144, 8192)} | {cap})
         return rungs
 
@@ -774,11 +774,15 @@ class PooledViterbiDecoder:
     # -- burst K-ramp ---------------------------------------------------
     # Sub-chunk boundaries inside the burst: the flood is K-shaped in time
     # (per-lane demand ≤2k tokens on frames 0-3, the full cap on 4-9, ≤5k
-    # decaying on 10-15 — scripts/probe_occupancy.py), so frames 0-3 and
+    # decaying from 10 — scripts/probe_occupancy.py), so frames 0-3 and
     # 10-15 run at small learned capacities while only the flood crest pays
-    # K = max_active.  Boundaries are static; capacities are learned from
-    # measured occupancy with a device-checked full-beam retry, so results
-    # stay exactly the full-capacity decode's (tests/test_pooled.py).
+    # K = max_active.  THREE segments, not more: each extra segment is a
+    # separate scanned program whose launch costs ~50-100 ms on a
+    # tunnel-degraded host link (a 5-segment ramp measured the burst at
+    # 916 ms vs 447 ms for this 3-segment one — docs/PERFORMANCE.md r4).
+    # Boundaries are static; capacities are learned from measured occupancy
+    # with a device-checked full-beam retry, so results stay exactly the
+    # full-capacity decode's (tests/test_pooled.py).
     BURST_SEG_ENDS = (4, 10, 16)
 
     def _burst_ladder(self):
