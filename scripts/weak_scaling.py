@@ -25,7 +25,7 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"   # ambient env presets axon — force
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -33,6 +33,10 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import numpy as np
 import jax
+
+# sitecustomize imports jax before this script body runs, so the env var
+# alone is too late — mirror tests/conftest.py and force the config too.
+jax.config.update("jax_platforms", "cpu")
 
 from pocketkaldi_tpu.decoder.streaming_pooled import (PooledStreamingDecoder,
                                                       _sharded_chunk)
