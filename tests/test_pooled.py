@@ -335,6 +335,7 @@ def test_pooled_recognizer_end_to_end(tmp_path):
             b.loglikelihood_per_frame, rel=1e-5)
 
 
+@pytest.mark.full
 def test_schedule_store_persists_across_processes(tmp_path, monkeypatch):
     """VERDICT r3 weak #6: the learned pool schedule survives process death.
 

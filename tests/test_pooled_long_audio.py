@@ -47,6 +47,7 @@ def chunk_scorer(t_total, batch=1, seed=91):
     return scores_fn
 
 
+@pytest.mark.full
 def test_pooled_offload_matches_device_and_per_lane(graph):
     """Offload mode is pure plumbing: words + costs identical to the
     device-resident pooled path and the per-lane decoder."""
