@@ -240,7 +240,25 @@ class GraphArrays:
                     "or arc blowup)")
 
         import os as _os
-        blk_override = int(_os.environ.get("PKTPU_EMIT_BLOCK", "0")) or None
+        blk_override = None
+        raw = _os.environ.get("PKTPU_EMIT_BLOCK", "")
+        if raw:
+            # Validate before it reaches block packing: a malformed or
+            # out-of-range override would otherwise raise a bare ValueError
+            # (or build nonsensical blocks) deep inside _build_blocks.
+            # Invalid values are ignored with a warning — an env knob must
+            # never turn a working decode into a crash.
+            try:
+                v = int(raw)
+            except ValueError:
+                v = -1
+            if 1 <= v <= 1024:
+                blk_override = v
+            else:
+                from ..utils import logging as pk_logging
+                pk_logging.warn(
+                    "ignoring invalid PKTPU_EMIT_BLOCK=%r "
+                    "(expected an integer in [1, 1024])", raw)
         emit = _build_blocks(s, e_src, e_nxt, e_pdf, e_ol, e_w, e_ol2,
                              block=blk_override)
         eps = _build_blocks(
@@ -893,6 +911,14 @@ def decode_chunk_k(beam: Beam, scores: jnp.ndarray, frame_valid: jnp.ndarray,
     from it), so ``opts`` passes through unchanged; ``k`` is static only to
     key the compile and the full-flag comparison."""
     assert beam.state.shape[-1] == k
+    # The full-flag is a sound truncation detector only when the frame does
+    # a SINGLE select: with eps sweeps, an emitting-select truncation at k
+    # can be masked when a later sweep's dedup leaves < k live tokens, so a
+    # caller would wrongly trust a truncated segment.  Unfolded graphs must
+    # use decode_chunk (no ramp) instead.
+    assert g.folded or num_eps_iters == 0, \
+        "decode_chunk_k's full-flag requires a folded graph (single select)"
+
     def body(b, xs):
         s_t, v_t = xs
         b2, rec, ov = frame_step(b, s_t, v_t, g, opts, num_eps_iters)

@@ -60,6 +60,7 @@ cannot trigger unbounded recompilation.
 
 from __future__ import annotations
 
+import dataclasses
 import hashlib
 import json
 import os
@@ -208,11 +209,13 @@ def pool_frame_step(pool: PoolBeam, scores_t: jnp.ndarray,
     """One emitting frame over the pool (folded graphs only).
 
     scores_t (B, P); frame_valid (B,).  Returns (pool', record, overflow,
-    demand) where overflow is a scalar bool — the pool could not hold this
-    frame's survivors (results for the frame are then unusable; callers
-    retry the chunk with a bigger pool) — and demand is the frame's true
-    slot requirement (sum of GROUP-rounded per-lane survivor counts), the
-    telemetry that drives the per-chunk pool schedule.
+    demand, maxcnt) where overflow is a scalar bool — the pool could not
+    hold this frame's survivors (results for the frame are then unusable;
+    callers retry the chunk with a bigger pool) — demand is the frame's
+    true slot requirement (sum of GROUP-rounded per-lane survivor counts),
+    the telemetry that drives the per-chunk pool schedule — and maxcnt is
+    the largest per-lane survivor count (maxcnt == the effective rank cap
+    means some lane's beam FILLED, the capacity-escalation signal).
     """
     assert g.folded, "pooled decode requires an eps-folded graph"
     b = scores_t.shape[0]
@@ -326,7 +329,7 @@ def _pool_select(state, cost, lane, word, word2, arcden, b, s_plus, cap, kp,
     a_cost = jnp.where(keep, a_cost, jnp.inf)
 
     # ---- sort B: per-lane cost order; beam + cap prune -----------------
-    pool, placed, overflow, demand = _rank_and_place(
+    pool, placed, overflow, demand, maxcnt = _rank_and_place(
         a_lane, a_cost, a_state, (a_idx,), b, cap, kp, beam_width)
     out_idx = placed[0]
     live = pool.state >= 0
@@ -349,7 +352,7 @@ def _pool_select(state, cost, lane, word, word2, arcden, b, s_plus, cap, kp,
     id_slot = jnp.arange(kp, dtype=jnp.int32)
     rec = PoolRecord(jnp.stack([rec_prev, id_slot]),
                      jnp.stack([rec_word, rec_word2]))
-    return pool, rec, overflow, demand
+    return pool, rec, overflow, demand, maxcnt
 
 
 def _rank_and_place(lane, cost, state, payloads, b, cap, kp, beam_width=None):
@@ -357,7 +360,10 @@ def _rank_and_place(lane, cost, state, payloads, b, cap, kp, beam_width=None):
 
     Inputs are flat candidate arrays (lane = LANE_DEAD for dead entries);
     within-lane ties keep input order (stable sort).  Returns
-    (PoolBeam(kp), placed payloads (kp,), overflow, demand).  beam_width
+    (PoolBeam(kp), placed payloads (kp,), overflow, demand, maxcnt) where
+    maxcnt is the LARGEST per-lane survivor count — maxcnt == the rank cap
+    means some lane's beam came back full, i.e. the cap may have truncated
+    (the capacity-escalation signal, VERDICT r4 next #1).  beam_width
     None skips beam pruning (repack of an already-pruned token set).
 
     Placement is COMPUTED, not sorted.  After sort B every lane's run is
@@ -398,6 +404,7 @@ def _rank_and_place(lane, cost, state, payloads, b, cap, kp, beam_width=None):
     ends = jnp.cumsum(padded)                                   # (B,)
     demand = ends[-1]
     overflow = demand > kp
+    maxcnt = jnp.max(counts)
 
     # ---- inverse placement: slot p → source position ------------------
     p = jax.lax.broadcasted_iota(jnp.int32, (kp, 1), 0)[:, 0]
@@ -427,7 +434,7 @@ def _rank_and_place(lane, cost, state, payloads, b, cap, kp, beam_width=None):
     pool = PoolBeam(out_lane, out_state, out_cost)
     placed = tuple(jnp.where(live, got[:, 2 + j], 0)
                    for j in range(len(b_pay)))
-    return pool, placed, overflow, demand
+    return pool, placed, overflow, demand, maxcnt
 
 
 def pool_reset_lanes(pool: PoolBeam, reset_mask: jnp.ndarray,
@@ -464,8 +471,8 @@ def pool_reset_lanes(pool: PoolBeam, reset_mask: jnp.ndarray,
     cost = jnp.concatenate([k_cost, i_cost])
     prev = jnp.concatenate([jnp.arange(kp_now, dtype=jnp.int32),
                             jnp.tile(jnp.arange(k0, dtype=jnp.int32), b)])
-    pool2, placed, ov, dem = _rank_and_place(lane, cost, state, (prev,),
-                                             b, cap, kp)
+    pool2, placed, ov, dem, _cnt = _rank_and_place(lane, cost, state,
+                                                   (prev,), b, cap, kp)
     return pool2, placed[0], ov, dem
 
 
@@ -474,12 +481,12 @@ def _pool_decode_chunk_impl(pool: PoolBeam, scores: jnp.ndarray,
                             opts: DecoderOptions):
     def body(p, xs):
         s_t, v_t = xs
-        p2, rec, ov, dem = pool_frame_step(p, s_t, v_t, g, opts)
-        return p2, (rec, ov, dem)
+        p2, rec, ov, dem, cnt = pool_frame_step(p, s_t, v_t, g, opts)
+        return p2, (rec, ov, dem, cnt)
 
     xs = (jnp.swapaxes(scores, 0, 1), jnp.swapaxes(frame_valid, 0, 1))
-    new_pool, (recs, ovs, dems) = jax.lax.scan(body, pool, xs)
-    return new_pool, recs, ovs, dems
+    new_pool, (recs, ovs, dems, cnts) = jax.lax.scan(body, pool, xs)
+    return new_pool, recs, ovs, dems, cnts
 
 
 @partial(jax.jit, static_argnames=("g", "opts"))
@@ -490,7 +497,9 @@ def pool_decode_chunk(pool: PoolBeam, scores: jnp.ndarray,
 
     scores (B, C, P), frame_valid (B, C).  Returns (pool', records with
     shapes (C, 2, Kp), overflow (C,) bools, demand (C,) int32 — per-frame
-    true slot requirement, the schedule-learning telemetry)."""
+    true slot requirement, the schedule-learning telemetry — and maxcnt
+    (C,) int32, the per-frame largest per-lane survivor count: maxcnt
+    reaching the effective rank cap is the capacity-escalation signal)."""
     return _pool_decode_chunk_impl(pool, scores, frame_valid, g, opts)
 
 
@@ -510,7 +519,7 @@ def pool_from_beams(beam: Beam, kp: int) -> Tuple[PoolBeam, jnp.ndarray,
 
     finite = jnp.isfinite(cost) & (state >= 0)
     s_lane = jnp.where(finite, lane, LANE_DEAD)
-    pool, placed, overflow, demand = _rank_and_place(
+    pool, placed, overflow, demand, _cnt = _rank_and_place(
         s_lane, cost, state, (slot,), bsz, k, kp)
     origin = jnp.where(pool.state >= 0, placed[0], -1)
     return pool, origin, overflow, demand
@@ -719,16 +728,26 @@ class PooledViterbiDecoder:
         self._s_plus = int(fst.num_states) + 1
         self._max_batch = (INT_MAX - 1) // self._s_plus
         self.pool_size = pool_size
+        # Capacity-escalation ceiling (VERDICT r4 next #1): opts.max_active
+        # is the STARTING capacity rung; any chunk in which a lane's beam
+        # fills re-runs at the next rung up to this hard cap, making the
+        # decode provably identical to all-frames-at-hard-cap semantics.
+        # hard == max_active → fixed-capacity semantics (the tested
+        # pooled⇔per-lane equivalence contract).
+        self._hard_cap = max(opts.max_active, opts.max_active_cap or 0)
         # telemetry of the most recent decode
         self.last_pool_size: int = 0       # largest rung used
         self.last_pool_growths: int = 0    # retries (growth or failed shrink)
         self.last_burst_retries: int = 0   # burst K-ramp segment retries
+        self.last_cap_escalations: int = 0  # capacity rungs raised past K
         self.last_demand = None            # per-chunk max slot demand (np)
         # learned per-chunk rung schedule, keyed by (batch, n_chunks);
         # write-through persisted across processes (ScheduleStore)
         self._learned = {}
         # learned per-segment burst beam capacities, keyed by (batch, n_segs)
         self._learned_burst = {}
+        # learned per-chunk capacity rungs (escalation outcomes)
+        self._learned_caps = {}
         self._store = ScheduleStore()
         h = hashlib.sha1()
         h.update(np.int64([fst.num_states, fst.num_arcs,
@@ -747,7 +766,7 @@ class PooledViterbiDecoder:
     # ------------------------------------------------------------------
     def _kp_cap(self, b: int) -> int:
         """Pool size at which per-lane caps make overflow impossible."""
-        return b * _round_group(self.opts.max_active)
+        return b * _round_group(self._hard_cap)
 
     def _ladder(self, b: int):
         """The static rung set: every pool in this process is one of these,
@@ -801,9 +820,25 @@ class PooledViterbiDecoder:
     BURST_SEG_ENDS = (4, 10, 16)
 
     def _burst_ladder(self):
-        cap = self.opts.max_active
-        return [v for v in (512, 1024, 2048, 4096, 8192, 16384, 32768)
-                if v < cap] + [cap]
+        hard = self._hard_cap
+        rungs = {v for v in (512, 1024, 2048, 4096, 8192, 16384, 32768)
+                 if v < hard}
+        rungs.add(self.opts.max_active)
+        rungs.add(hard)
+        return sorted(rungs)
+
+    def _cap_ladder(self):
+        """Steady-chunk capacity rungs: max_active up to the hard cap."""
+        k0, hard = self.opts.max_active, self._hard_cap
+        mids = {v for v in (1024, 2048, 4096, 8192, 16384, 32768)
+                if k0 < v < hard}
+        return sorted({k0} | mids | {hard})
+
+    def _next_cap(self, cap: int) -> int:
+        for r in self._cap_ladder():
+            if r > cap:
+                return r
+        raise AssertionError("capacity escalation past the hard cap")
 
     def _burst_plan(self, burst: int):
         ends, lo = [], 0
@@ -833,8 +868,25 @@ class PooledViterbiDecoder:
 
     def _sched_key(self, b: int, n_slots: int) -> str:
         o = self.opts
+        cap = "" if self._hard_cap == o.max_active else \
+            f"|cap{self._hard_cap}"
         return (f"{self._pack_hash}|b{b}|s{n_slots}|k{o.max_active}"
-                f"|c{o.chunk_frames}|p{self.pool_size or 0}")
+                f"|c{o.chunk_frames}|p{self.pool_size or 0}{cap}")
+
+    def _cap_schedule(self, b: int, n_slots: int):
+        """Per-steady-chunk capacity rungs (learned, persisted like the
+        pool-rung schedule): a chunk slot that escalated once stays at its
+        learned capacity, so repeat decodes of the shape re-run nothing."""
+        caps = self._learned_caps.get((b, n_slots))
+        if caps is None:
+            caps = self._store.get(self._sched_key(b, n_slots) + "|caps")
+            ladder = self._cap_ladder()
+            if caps is not None and (len(caps) != n_slots
+                                     or not all(c in ladder for c in caps)):
+                caps = None
+        if caps is None:
+            caps = [self.opts.max_active] * n_slots
+        return list(caps)
 
     def _schedule(self, b: int, n_slots: int):
         """Per-steady-chunk pool rungs (slot 0 doubles as the group→pool
@@ -916,8 +968,10 @@ class PooledViterbiDecoder:
                          for i in range(n_rest)]
         n_slots = max(1, n_rest)
         schedule = self._schedule(b, n_slots)
+        caps = self._cap_schedule(b, n_slots)
         growths = 0
-        cap = self.opts.max_active
+        escalations = 0
+        cap = self._hard_cap
 
         # Start beam + eps closure: score-independent, identical for every
         # decode of this batch size — computed once on the host CPU backend
@@ -964,7 +1018,8 @@ class PooledViterbiDecoder:
         burst_retries = 0
         while True:
             bbeam = beam0
-            seg_recs, seg_ovs, flag_parts, occs = [], [], [], []
+            seg_recs, seg_ovs, flag_parts, occs, end_lives = \
+                [], [], [], [], []
             lo = 0
             for s, hi in enumerate(seg_ends):
                 k_s = ks[s]
@@ -983,13 +1038,19 @@ class PooledViterbiDecoder:
                 flag_parts.append(jnp.any(full) if k_s < cap
                                   else jnp.asarray(False))
                 occs.append(occ)
+                # widest per-lane live extent EXITING this segment — the
+                # width the NEXT segment's rung must admit at entry
+                end_lives.append(jnp.max(jnp.sum(bbeam.state >= 0,
+                                                 axis=-1)))
                 lo = hi
             fetched = np.asarray(jnp.concatenate(
                 [jnp.stack(flag_parts).astype(jnp.int32),
-                 jnp.stack(occs).astype(jnp.int32)]))
+                 jnp.stack(occs).astype(jnp.int32),
+                 jnp.stack(end_lives).astype(jnp.int32)]))
             ok_v = fetched[0:2 * n_segs:2].astype(bool)
             full_v = fetched[1:2 * n_segs:2].astype(bool)
-            occ_v = fetched[2 * n_segs:]
+            occ_v = fetched[2 * n_segs:3 * n_segs]
+            end_v = fetched[3 * n_segs:]
             bad = np.nonzero(full_v | ~ok_v)[0]
             if bad.size == 0:
                 break
@@ -999,11 +1060,24 @@ class PooledViterbiDecoder:
                 # entering shrink truncated: previous width always admits
                 ks[s0] = ks[s0 - 1] if s0 else cap
             else:
+                if ks[s0] >= self.opts.max_active:
+                    # past the configured K: this retry IS the top-of-
+                    # ladder capacity escalation toward the hard cap
+                    escalations += 1
                 ks[s0] = next(r for r in ladder if r > ks[s0])
-        # learn strictly-above-occupancy rungs so steady state never
-        # retries; segment 0 must also admit the init closure's live width
+        # Learn strictly-above-demand rungs so steady state never retries.
+        # Demand for segment s = its own max occupancy AND the live width
+        # ENTERING it (segment 0: the init closure; s > 0: segment s-1's
+        # exit width) — without the entering term, a sharp occupancy decay
+        # at a boundary learns a rung the entering shrink can never pass,
+        # flip-flopping a full burst retry on EVERY subsequent decode while
+        # re-learning the same too-small rung (the steady-chunk learner
+        # guards this identically via enter_dem below).
         occ_list = [int(o) for o in occ_v]
+        end_list = [int(e) for e in end_v]
         occ_list[0] = max(occ_list[0], live0)
+        for s in range(1, n_segs):
+            occ_list[s] = max(occ_list[s], end_list[s - 1])
         learned_ks = [next((r for r in ladder if r > o), cap)
                       for o in occ_list]
         self._learned_burst[(b, n_segs)] = learned_ks
@@ -1012,10 +1086,15 @@ class PooledViterbiDecoder:
         bovs = jnp.concatenate(seg_ovs, axis=1)
         t_phase = _mark("pool/burst", t_phase, bbeam)
 
-        def run_chunk(pool, lo, hi):
+        def run_chunk(pool, lo, hi, cap_j):
+            # cap_j > opts.max_active = an escalated capacity rung: the
+            # SAME chunk program family, recompiled once per (kp, cap)
+            # pair — value-equal frozen options hash equal, so repeats hit
+            # the jit cache.
+            o = self.opts if cap_j == self.opts.max_active else \
+                dataclasses.replace(self.opts, max_active=cap_j)
             return pool_decode_chunk(pool, padded_scores(lo, hi),
-                                     valid_of(lo, hi), self.graph,
-                                     self.opts)
+                                     valid_of(lo, hi), self.graph, o)
 
         def resize(pool, new_kp):
             cur = pool.lane.shape[0]
@@ -1030,8 +1109,9 @@ class PooledViterbiDecoder:
 
         if self.opts.offload_records:
             return self._decode_offload(
-                b, num_frames, schedule, steady_bounds, seg_recs, bovs,
-                run_chunk, resize, do_pack, init_prev, init_word)
+                b, num_frames, schedule, caps, escalations, steady_bounds,
+                seg_recs, bovs, run_chunk, resize, do_pack, init_prev,
+                init_word)
 
         # Lazy flag protocol over the steady chunks: the beam→pool pack is
         # the resize ENTERING chunk 0; per-chunk overflow / failed-shrink
@@ -1042,46 +1122,70 @@ class PooledViterbiDecoder:
         t_phase = _mark("pool/merge", t_phase, merged)
         pool_in = [merged]   # pool entering steady chunk i
         pool_out = []        # pool exiting steady chunk i
-        chunk_res = []       # (recs, ov_any, dem_max)
+        chunk_res = []       # (recs, ov_any, filled, dem_max, dem_last)
         enter_ok = [jnp.logical_not(m_ov)]
         while True:
             for i in range(len(chunk_res), len(steady_bounds)):
-                p2, recs, ovs, dems = run_chunk(pool_in[i],
-                                                *steady_bounds[i])
+                p2, recs, ovs, dems, cnts = run_chunk(pool_in[i],
+                                                      *steady_bounds[i],
+                                                      caps[i])
                 if pt is not None:
                     t_phase = _mark(
                         f"pool/steady{i}@{schedule[i]}", t_phase, p2)
                 pool_out.append(p2)
-                chunk_res.append((recs, jnp.any(ovs), jnp.max(dems),
-                                  dems[-1]))
+                # Capacity-escalation signal: a lane's survivor count
+                # reached the effective rank cap min(caps[i], kp) — exact
+                # top-cap MAY have truncated tokens the hard cap would
+                # keep.  At the hard cap the flag is meaningless (the cap
+                # IS the semantics) and stays constant-False.
+                thresh = min(caps[i], schedule[i])
+                filled = (jnp.max(cnts) >= thresh) if thresh < cap \
+                    else jnp.asarray(False)
+                chunk_res.append((recs, jnp.any(ovs), filled,
+                                  jnp.max(dems), dems[-1]))
                 if i + 1 < len(steady_bounds):
                     nxt, ok = resize(p2, schedule[i + 1])
                     pool_in.append(nxt)
                     enter_ok.append(ok)
-            # ONE flag fetch per retry round: entering-resize ok flags and
-            # per-chunk overflow flags cross together (each extra round trip
-            # costs ~100 ms once a big chunk program has run).
+            # ONE flag fetch per retry round: entering-resize ok flags,
+            # per-chunk overflow flags, and per-chunk filled flags cross
+            # together (each extra round trip costs ~100 ms once a big
+            # chunk program has run).
+            nch = len(chunk_res)
             flags = np.asarray(jnp.stack(
                 [jnp.asarray(True) if ok is None else ok
                  for ok in enter_ok]
-                + [ov for _, ov, _, _ in chunk_res]))
+                + [ov for _, ov, _, _, _ in chunk_res]
+                + [fl for _, _, fl, _, _ in chunk_res]))
             ent = flags[:len(enter_ok)]
             ovf = np.zeros(len(ent), bool)
+            fil = np.zeros(len(ent), bool)
             if chunk_res:
-                ovf[:len(chunk_res)] = flags[len(enter_ok):]
-            bad = np.nonzero(ovf | ~ent)[0]
+                ovf[:nch] = flags[len(enter_ok):len(enter_ok) + nch]
+                fil[:nch] = flags[len(enter_ok) + nch:]
+            bad = np.nonzero(ovf | ~ent | fil)[0]
             if bad.size == 0:
                 t_phase = _mark("pool/flags", t_phase)
                 break
             j = int(bad[0])
-            growths += 1
-            if j == 0:
-                # pack overflowed or chunk 0 did: redo the pack one rung up
+            if fil[j] and not ovf[j] and ent[j] and schedule[j] > caps[j]:
+                # The rank cap was the binding constraint (pool had room):
+                # raise the CAPACITY rung; the entering pool is unchanged,
+                # so only this chunk and its downstream re-run.
+                escalations += 1
+                caps[j] = self._next_cap(caps[j])
+                pool_in = pool_in[:j + 1]
+                enter_ok = enter_ok[:j + 1]
+            elif j == 0:
+                # pack overflowed or chunk 0 did (or chunk 0 filled its
+                # pool-bounded cap): redo the pack one rung up
+                growths += 1
                 schedule[0] = self._next_rung(schedule[0], b)
                 merged, bridge, m_ov, m_dem = do_pack(schedule[0])
                 pool_in = [merged]
                 enter_ok = [jnp.logical_not(m_ov)]
             else:
+                growths += 1
                 if not ent[j]:
                     # entering shrink truncated live tokens: keep the
                     # previous chunk's (larger) rung for this chunk
@@ -1114,7 +1218,7 @@ class PooledViterbiDecoder:
         # the host.
         s = jnp.maximum(slot, 0)
         planes = []
-        for recs, _, _, _ in reversed(chunk_res):
+        for recs, _, _, _, _ in reversed(chunk_res):
             s, words = pool_traceback_chunk(s, recs)
             planes.append(words)
         s0 = jnp.maximum(bridge[s], 0)          # pool slot → per-lane slot
@@ -1131,9 +1235,9 @@ class PooledViterbiDecoder:
             jax.lax.bitcast_convert_type(fin, jnp.int32),
             jnp.any(bovs, axis=1).astype(jnp.int32),
             s0.astype(jnp.int32),
-            jnp.stack([m_dem] + [d for _, _, d, _ in chunk_res]
+            jnp.stack([m_dem] + [d for _, _, _, d, _ in chunk_res]
                       ).astype(jnp.int32),
-            jnp.stack([m_dem] + [dl for _, _, _, dl in chunk_res]
+            jnp.stack([m_dem] + [dl for _, _, _, _, dl in chunk_res]
                       ).astype(jnp.int32),
             plane_dev.reshape(-1).astype(jnp.int32),
         ])
@@ -1179,6 +1283,7 @@ class PooledViterbiDecoder:
         self.last_demand = demands
         self.last_pool_size = max(schedule)
         self.last_pool_growths = growths
+        self.last_cap_escalations = escalations
         # A slot's rung must also admit the live extent ENTERING it (the
         # previous chunk's last-frame demand) or the shrink into it would
         # truncate live tokens and flip-flop a retry on every decode.
@@ -1187,6 +1292,10 @@ class PooledViterbiDecoder:
                    for dem, ent in zip(demands, enter_dem)]
         self._learned[(b, n_slots)] = learned
         self._store.put(self._sched_key(b, n_slots), learned)
+        # Escalated capacity rungs persist too: a chunk slot that once
+        # needed the hard cap starts there next time — no re-run.
+        self._learned_caps[(b, n_slots)] = list(caps)
+        self._store.put(self._sched_key(b, n_slots) + "|caps", caps)
 
         out = []
         for i in range(b):
@@ -1212,9 +1321,9 @@ class PooledViterbiDecoder:
         return out
 
     # ------------------------------------------------------------------
-    def _decode_offload(self, b, num_frames, schedule, steady_bounds,
-                        seg_recs, bovs, run_chunk, resize, do_pack,
-                        init_prev, init_word):
+    def _decode_offload(self, b, num_frames, schedule, caps, escalations,
+                        steady_bounds, seg_recs, bovs, run_chunk, resize,
+                        do_pack, init_prev, init_word):
         """Long-audio pooled decode: records stream to the HOST per chunk.
 
         The device-resident path accumulates every steady chunk's
@@ -1264,11 +1373,25 @@ class PooledViterbiDecoder:
                         schedule[i] = schedule[i - 1]
                         growths += 1
                         continue
-                p2, recs, ovs, dems = run_chunk(entering,
-                                                *steady_bounds[i])
+                p2, recs, ovs, dems, cnts = run_chunk(entering,
+                                                      *steady_bounds[i],
+                                                      caps[i])
                 if bool(np.asarray(jnp.any(ovs))):
                     schedule[i] = self._next_rung(schedule[i], b)
                     growths += 1
+                    continue
+                # capacity-escalation check (same protocol as the device
+                # path; eager here — the per-chunk sync is already paid by
+                # the record offload itself)
+                thresh = min(caps[i], schedule[i])
+                if thresh < self._hard_cap and \
+                        int(np.asarray(jnp.max(cnts))) >= thresh:
+                    if schedule[i] <= caps[i]:
+                        schedule[i] = self._next_rung(schedule[i], b)
+                        growths += 1
+                    else:
+                        caps[i] = self._next_cap(caps[i])
+                        escalations += 1
                     continue
                 break
             if i == 0:
@@ -1312,12 +1435,15 @@ class PooledViterbiDecoder:
         self.last_demand = demands
         self.last_pool_size = max(schedule)
         self.last_pool_growths = growths
+        self.last_cap_escalations = escalations
         enter_dem = np.asarray([m_dem_np] + dem_last[:-1] if dem_last
                                else [m_dem_np])[:n_slots]
         learned = [self._rung_for(int(max(dem, ent)), b)
                    for dem, ent in zip(demands, enter_dem)]
         self._learned[(b, n_slots)] = learned
         self._store.put(self._sched_key(b, n_slots), learned)
+        self._learned_caps[(b, n_slots)] = list(caps)
+        self._store.put(self._sched_key(b, n_slots) + "|caps", caps)
 
         # ---- host traceback ------------------------------------------
         s = np.maximum(slot_np, 0).astype(np.int64)
@@ -1338,6 +1464,17 @@ class PooledViterbiDecoder:
         seg_words = []                  # per burst segment, oldest→newest
         for bp, bw in reversed(seg_host):
             bb, cc, g2, k2 = bp.shape
+            # Per-lane burst StepRecords do NOT mask dead-slot prevs
+            # (beam.select_beam keeps whatever payload rode the sort), so a
+            # walker parked on a dead slot — e.g. a lane with no final state
+            # clamped to slot 0 — can carry a prev up to the PREVIOUS
+            # segment's k; entering a narrower segment that unmasked value
+            # would fancy-index out of range and crash the whole batch (the
+            # device path is immune only because jnp gathers clamp).  Clamp
+            # at every segment boundary; dead walkers' words are discarded
+            # by the slot_np[i] < 0 guard below, so any in-range slot is
+            # equally correct for them.
+            s2 = np.minimum(s2, k2 - 1)
             bpf = bp.reshape(bb, cc * g2, k2)
             bwf = bw.reshape(bb, cc * g2, k2)
             ws = np.empty((cc * g2, b), np.int32)

@@ -287,6 +287,18 @@ class PooledStreamingDecoder:
         self._init_rec = (np.asarray(init_rec.prev[0]),
                           np.asarray(init_rec.word[0]))
 
+        # Graph fingerprint for snapshot-compatibility checks (same recipe
+        # as PooledViterbiDecoder._pack_hash): restoring a snapshot into a
+        # decoder built on a different graph would otherwise fail late or
+        # silently corrupt slot arithmetic.
+        import hashlib
+        h = hashlib.sha1()
+        h.update(np.int64([fst.num_states, fst.num_arcs,
+                           fst.start_state]).tobytes())
+        h.update(np.ascontiguousarray(fst.weight).tobytes())
+        h.update(np.ascontiguousarray(fst.olabel).tobytes())
+        self._pack_hash = h.hexdigest()[:16]
+
         self.lanes: List[_Lane] = [_Lane() for _ in range(num_lanes)]
         self.pools = self._put(PoolBeam(
             jnp.full((self._h, self._kp), LANE_DEAD, jnp.int32),
@@ -374,7 +386,7 @@ class PooledStreamingDecoder:
         vv = np.asarray(valid, bool)
         vd = self._put(jnp.asarray(vv.reshape(self._h, self._b_loc, c)))
         while True:
-            pools2, recs, ovs, _dems = _sharded_chunk(
+            pools2, recs, ovs, _dems, _cnts = _sharded_chunk(
                 self.pools, sc, vd, self.graph, self.opts)
             if not bool(np.asarray(jnp.any(ovs))):
                 break
@@ -505,12 +517,21 @@ class PooledStreamingDecoder:
         payload = {
             "kp": np.asarray(self._kp, dtype=np.int64),
             "chunks_fed": np.asarray(self.chunks_fed, dtype=np.int64),
+            # compatibility envelope: verified at load so a snapshot never
+            # restores into a decoder whose slot arithmetic it would corrupt
+            "pack_hash": np.asarray(self._pack_hash),
+            "num_lanes": np.asarray(self.num_lanes, dtype=np.int64),
+            "mesh_h": np.asarray(self._h, dtype=np.int64),
             "pool_lane": np.asarray(self.pools.lane),
             "pool_state": np.asarray(self.pools.state),
             "pool_cost": np.asarray(self.pools.cost),
             "utt_ids": np.asarray(
                 [l.utt_id if l.utt_id is not None else ""
                  for l in self.lanes]),
+            # explicit attach mask: an utt_id may legitimately be "" — the
+            # empty string must not silently free the lane on resume
+            "attached": np.asarray(
+                [l.utt_id is not None for l in self.lanes], dtype=bool),
             "frames_fed": np.asarray([l.frames_fed for l in self.lanes],
                                      dtype=np.int64),
             "attach_chunk": np.asarray(
@@ -537,10 +558,27 @@ class PooledStreamingDecoder:
         """Restore a snapshot taken by :meth:`save_state`.
 
         The decoder must have been constructed with the same graph, opts,
-        ``num_lanes``, and mesh shape; the pool size adopts the snapshot's.
+        ``num_lanes``, and mesh shape — verified against the snapshot's
+        compatibility envelope (a mismatch is a loud error, never silent
+        slot corruption); the pool size adopts the snapshot's.
         """
+        from ..errors import PkRuntimeError
         from .pooled import PoolRecord
         data = np.load(path)
+        if "pack_hash" in data:
+            want = str(data["pack_hash"])
+            if want != self._pack_hash:
+                raise PkRuntimeError(
+                    f"snapshot was taken on a different decoding graph "
+                    f"(fingerprint {want} != {self._pack_hash})")
+            if int(data["num_lanes"]) != self.num_lanes:
+                raise PkRuntimeError(
+                    f"snapshot has num_lanes={int(data['num_lanes'])}, "
+                    f"decoder has {self.num_lanes}")
+            if int(data["mesh_h"]) != self._h:
+                raise PkRuntimeError(
+                    f"snapshot has {int(data['mesh_h'])} data shards, "
+                    f"decoder has {self._h}")
         self._kp = int(data["kp"])
         self.chunks_fed = int(data["chunks_fed"])
         self.pools = self._put(PoolBeam(
@@ -550,8 +588,10 @@ class PooledStreamingDecoder:
         utt_ids = data["utt_ids"]
         frames = data["frames_fed"]
         attach = data["attach_chunk"]
+        attached = data["attached"] if "attached" in data else \
+            np.asarray([bool(str(u)) for u in utt_ids])
         self.lanes = [
-            _Lane(utt_id=str(utt_ids[i]) or None,
+            _Lane(utt_id=str(utt_ids[i]) if attached[i] else None,
                   frames_fed=int(frames[i]),
                   attach_chunk=int(attach[i]))
             for i in range(self.num_lanes)]

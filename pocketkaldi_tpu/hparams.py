@@ -70,6 +70,21 @@ class DecoderOptions:
     """
     beam: float = 16.0
     max_active: int = 4096            # K: beam capacity (exact top-K)
+    # Capacity-escalation ceiling (pooled offline decode): when set above
+    # ``max_active``, a chunk in which ANY lane's beam FILLS at the current
+    # capacity — the device-checked signal that exact top-K may have
+    # truncated tokens a bigger beam would keep — is re-run at the next
+    # capacity rung, up to this cap.  The result is then provably identical
+    # to decoding every frame at ``max_active_cap`` (a frame whose survivor
+    # count stays below its rung was not rank-pruned at all), while quiet
+    # frames keep paying only the small-capacity price.  The reference's
+    # max-active is a hard 30000 (decoder.h:45) — setting
+    # ``max_active_cap=30720`` (its GROUP-rounded cover) makes exact parity
+    # a mechanism instead of a per-pack tuned constant (VERDICT r4 next #1).
+    # None = fixed-capacity semantics at ``max_active`` (the per-lane
+    # decoder's contract, and what the pooled⇔per-lane equivalence tests
+    # pin).
+    max_active_cap: Optional[int] = None
     expand_factor: int = 8            # E = expand_factor * max_active arc budget
     acoustic_scale: float = 0.1       # pocketkaldi.cc:215
     max_eps_iters: Optional[int] = None  # None → use Fst.eps_depth bound

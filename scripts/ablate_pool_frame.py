@@ -108,7 +108,7 @@ def make_step(g, opts, stage: str):
             return PoolBeam(pool.lane, pool.state + 0 * ichk,
                             pool.cost + 0.0 * chk)
         # full: sorts B + C via the production _rank_and_place
-        pool2, placed, ov, dem = _rank_and_place(
+        pool2, placed, ov, dem, _cnt = _rank_and_place(
             a_lane, a_cost, a_state, sA[2:], b, cap, kp,
             jnp.float32(opts.beam))
         chk = placed[0] + placed[1] + 0.0 * dem

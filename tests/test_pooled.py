@@ -138,6 +138,62 @@ def test_pool_growth_ladder_bounds_compiles():
     assert plib.pool_decode_chunk._cache_size() == cache1
 
 
+def test_capacity_escalation_matches_hard_cap():
+    """VERDICT r4 next #1: exact parity as a MECHANISM.  A pooled decode
+    started at a small capacity rung must equal the per-lane decode at the
+    HARD cap: any frame where a lane's beam fills at the current rung is
+    device-detected and the chunk re-runs one rung up, so under-capacity
+    pruning can never silently change the result.  The escalation path must
+    actually fire (telemetry), and the learned per-chunk caps must make the
+    second decode retry-free."""
+    fst, rng = _foldable_graph(900)
+    num_pdfs = 12
+    tid2pdf = rng.randint(0, num_pdfs, size=31).astype(np.int32)
+    scores = (rng.randn(3, 14, num_pdfs) * 2.0).astype(np.float32)
+    hard = 64
+    base = DecoderOptions(max_active=hard, expand_factor=16, chunk_frames=5,
+                          fold_eps=True, beam=1e9)
+    lane = ViterbiDecoder(fst, tid2pdf, base).decode(scores)
+
+    esc = dataclasses.replace(base, max_active=8, max_active_cap=hard)
+    dec = PooledViterbiDecoder(fst, tid2pdf, esc)
+    hyps = dec.decode(scores)
+    assert dec.last_cap_escalations > 0, \
+        "escalation must fire (beam=1e9 floods a 40-state graph past K=8)"
+    _assert_same(lane, hyps)
+
+    # learned caps: the second decode starts at the escalated rungs and
+    # never re-runs a chunk
+    hyps2 = dec.decode(scores)
+    assert dec.last_cap_escalations == 0
+    _assert_same(lane, hyps2)
+
+    # a FRESH decoder (new process analogue) picks the caps up from the
+    # in-memory-only default store — here just assert it re-learns and
+    # still matches
+    dec2 = PooledViterbiDecoder(fst, tid2pdf, esc)
+    _assert_same(lane, dec2.decode(scores))
+
+
+@pytest.mark.full
+def test_capacity_escalation_offload_path():
+    """The long-audio (offload_records) pooled path escalates identically."""
+    fst, rng = _foldable_graph(910)
+    num_pdfs = 10
+    tid2pdf = rng.randint(0, num_pdfs, size=31).astype(np.int32)
+    scores = (rng.randn(2, 13, num_pdfs) * 2.0).astype(np.float32)
+    hard = 64
+    base = DecoderOptions(max_active=hard, expand_factor=16, chunk_frames=4,
+                          fold_eps=True, beam=1e9)
+    lane = ViterbiDecoder(fst, tid2pdf, base).decode(scores)
+    esc = dataclasses.replace(base, max_active=8, max_active_cap=hard,
+                              offload_records=True)
+    dec = PooledViterbiDecoder(fst, tid2pdf, esc)
+    hyps = dec.decode(scores)
+    assert dec.last_cap_escalations > 0
+    _assert_same(lane, hyps)
+
+
 def test_pooled_rejects_unfoldable():
     """3-word min-cost eps path → unfoldable → loud error."""
     arcs = [(0, 1, 1, 0, 0.5)]
@@ -240,8 +296,8 @@ def test_pool_step_token_for_token():
     for t in range(scores.shape[0]):
         s_t = jnp.asarray(scores[t])
         beam, _rec, _ovf = blib.frame_step(beam, s_t, valid, g, opts, 0)
-        pool, _prec, ovp, _dem = plib.pool_frame_step(pool, s_t, valid, g,
-                                                      opts)
+        pool, _prec, ovp, _dem, _cnt = plib.pool_frame_step(pool, s_t,
+                                                            valid, g, opts)
         assert not bool(ovp)
         got = _frame_state_sets(pool)
         want = {}
@@ -277,8 +333,8 @@ def test_pool_layout_invariants():
     beam, _ = blib.init_beam_batch(b, g, opts, n_init)
     pool, _o, _ov, _d = plib.pool_from_beams(beam, 8 * plib.GROUP)
     s_t = jnp.asarray((rng.randn(b, 10) * 2.0).astype(np.float32))
-    pool, _r, ov, _dem = plib.pool_frame_step(pool, s_t,
-                                              jnp.ones((b,), bool), g, opts)
+    pool, _r, ov, _dem, _cnt = plib.pool_frame_step(
+        pool, s_t, jnp.ones((b,), bool), g, opts)
     assert not bool(ov)
     lane = np.asarray(pool.lane)
     state = np.asarray(pool.state)

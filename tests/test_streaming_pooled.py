@@ -251,6 +251,46 @@ def test_pooled_checkpoint_resume(setup, tmp_path):
                 want[uid].total_cost, rel=1e-6)
 
 
+def test_pooled_checkpoint_compat_envelope(setup, tmp_path):
+    """A snapshot restores only into a matching decoder (ADVICE r4): a
+    different graph or lane count is a loud error, and a lane attached with
+    utt_id == "" stays attached across the round trip."""
+    from pocketkaldi_tpu.errors import PkRuntimeError
+    fst, tid2pdf, opts, mesh = setup
+    sd = PooledStreamingDecoder(fst, tid2pdf, opts, num_lanes=8, mesh=mesh)
+    sd.attach(0, "")            # legitimately empty utterance id
+    sd.attach(1, "u1")
+    ckpt = str(tmp_path / "envelope.npz")
+    sd.save_state(ckpt)
+
+    ok = PooledStreamingDecoder(fst, tid2pdf, opts, num_lanes=8, mesh=mesh)
+    ok.load_state(ckpt)
+    assert ok.lanes[0].utt_id == ""        # not silently freed
+    assert ok.active_lanes() == [0, 1]
+
+    bad_lanes = PooledStreamingDecoder(fst, tid2pdf, opts, num_lanes=16,
+                                       mesh=mesh)
+    with pytest.raises(PkRuntimeError, match="num_lanes"):
+        bad_lanes.load_state(ckpt)
+
+    other_fst, rng = _other_graph()
+    bad_graph = PooledStreamingDecoder(other_fst, tid2pdf, opts,
+                                       num_lanes=8, mesh=mesh)
+    with pytest.raises(PkRuntimeError, match="different decoding graph"):
+        bad_graph.load_state(ckpt)
+
+
+def _other_graph():
+    """A foldable graph that differs from the setup fixture's."""
+    from pocketkaldi_tpu.tools.make_fixtures import make_decoding_graph
+    for s in range(500, 550):
+        rng = np.random.RandomState(s)
+        fst = make_decoding_graph(rng, 40, 20, 8)
+        if fst.eps_closure is not None:
+            return fst, rng
+    raise AssertionError("no foldable graph")
+
+
 def test_sharded_steady_step_has_no_collectives(setup):
     """BASELINE.md scaling gate (VERDICT r3 next #8): the pooled sharded
     steady step must be communication-free — shard-local pools vmapped over
