@@ -106,6 +106,8 @@ class Recognizer:
             beam=conf.get_float("beam", dec_defaults.beam),
             max_active=conf.get_integer("max_active",
                                         dec_defaults.max_active),
+            max_active_cap=(conf.get_integer("max_active_cap", 0) or
+                            dec_defaults.max_active_cap),
             acoustic_scale=conf.get_float("acoustic_scale",
                                           dec_defaults.acoustic_scale),
             chunk_frames=conf.get_integer("chunk_frames",

@@ -194,15 +194,46 @@ def test_capacity_escalation_offload_path():
     _assert_same(lane, hyps)
 
 
-def test_pooled_rejects_unfoldable():
-    """3-word min-cost eps path → unfoldable → loud error."""
+def test_pooled_unfoldable_swept_fallback():
+    """3-word min-cost eps path → unfoldable → the SWEPT pooled tier
+    (per-frame pooled epsilon sweeps) decodes it token-for-token equal to
+    the per-lane decoder (VERDICT r4 next #4; the reference decodes any
+    HCLG, decoder.cc:186-221).  fold_eps=True still errors loudly."""
     arcs = [(0, 1, 1, 0, 0.5)]
     arcs += [(1 + i, 2 + i, 0, 7 + i, 0.1) for i in range(3)]
-    fst = Fst.from_arcs(5, 0, arcs, finals={4: 0.0})
-    tid2pdf = np.array([0, 0], dtype=np.int32)
+    arcs += [(1, 1, 2, 3, 0.9)]           # self-loop alternative
+    fst = Fst.from_arcs(5, 0, arcs, finals={4: 0.0, 1: 1.5})
+    tid2pdf = np.array([0, 0, 1], dtype=np.int32)
+    opts = DecoderOptions(max_active=8, expand_factor=4, chunk_frames=3)
+    scores = (np.random.RandomState(3).randn(2, 7, 2) * 2.0
+              ).astype(np.float32)
+    dec = PooledViterbiDecoder(fst, tid2pdf, opts)
+    assert not dec.graph.folded
+    lane = ViterbiDecoder(fst, tid2pdf, opts).decode(scores)
+    _assert_same(lane, dec.decode(scores))
+
     with pytest.raises((PkRuntimeError, ValueError)):
-        PooledViterbiDecoder(fst, tid2pdf,
-                             DecoderOptions(max_active=8, expand_factor=4))
+        PooledViterbiDecoder(
+            fst, tid2pdf, dataclasses.replace(opts, fold_eps=True))
+
+
+@pytest.mark.full
+def test_pooled_unfoldable_random_graphs():
+    """Swept-fallback equivalence on random UNFOLDED graphs (fold_eps
+    forced off so the eps sweeps actually run), ragged batch."""
+    for seed in (30, 31):
+        rng = np.random.RandomState(seed)
+        fst = make_decoding_graph(rng, 40, 30, 10)
+        tid2pdf = rng.randint(0, 12, size=31).astype(np.int32)
+        opts = DecoderOptions(max_active=24, expand_factor=16,
+                              chunk_frames=4, fold_eps=False)
+        scores = (rng.randn(3, 11, 12) * 2.0).astype(np.float32)
+        lengths = [11, 6, 9]
+        dec = PooledViterbiDecoder(fst, tid2pdf, opts)
+        assert not dec.graph.folded and dec.frame_eps_iters > 0
+        lane = ViterbiDecoder(fst, tid2pdf, opts).decode(
+            scores, num_frames=lengths)
+        _assert_same(lane, dec.decode(scores, num_frames=lengths))
 
 
 def test_pooled_no_reachable_final():
