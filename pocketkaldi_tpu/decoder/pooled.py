@@ -83,37 +83,6 @@ GROUP = 128          # tokens per lane-uniform score group (pool alignment)
 LANE_DEAD = INT_MAX  # lane id of the dead global tail
 
 
-def _score_fuse_on(width: int, num_scores: int) -> bool:
-    """Use the Pallas fused scoring kernel for this candidate width?
-
-    OPT-IN (``PKTPU_SCORE_FUSE=1``), for two measured reasons
-    (VERDICT r3 weak #3 asked for the kernel to be wired or deleted —
-    it is wired, behind this gate, with the evidence on record):
-
-      1. The remote Mosaic service HUNG compiling the kernel at
-         production shapes (W=2048, 27-row table inside the scanned
-         chunk program): the first wired profile run sat >25 min with
-         zero compile-cache landings and wedged the tunnel when killed;
-         every identical run with the kernel disabled compiled normally.
-         (Round 3 had already seen Mosaic HTTP-500s on fused variants.)
-         A hang — unlike an error — defeats the ``available()`` probe,
-         so the kernel cannot be on by default on this toolchain.
-      2. The better optimization made its tile constraint unsatisfiable
-         on the bench graph anyway: 10-wide arc blocks (measured +16%
-         end-to-end) give W = GROUP·10 = 1280 candidates per group,
-         which does not tile into the kernel's (SUB·LANE)=2048 blocks —
-         the wins were demand-side, not fusion-side.
-
-    When opted in, the kernel still requires a whole number of tiles per
-    group and a Mosaic that accepts the probe at THIS shape family."""
-    if os.environ.get("PKTPU_SCORE_FUSE") != "1":
-        return False
-    from ..ops import score_fuse
-    if width % (score_fuse.SUB * score_fuse.LANE) != 0:
-        return False
-    return score_fuse.available(width, num_scores)
-
-
 class PoolBeam(NamedTuple):
     """Pooled tokens, lane-major cost-sorted, GROUP-aligned lane runs.
 
@@ -292,24 +261,12 @@ def pool_frame_step(pool: PoolBeam, scores_t: jnp.ndarray,
     # (Kp·mb, BLOCK) → (G, GROUP·mb·BLOCK): group g's candidates are all
     # owned by group_lane[g] (pool alignment invariant).
     pdf_g = pdf.reshape(ng, -1)
-    w = pdf_g.shape[1]
-    if _score_fuse_on(w, scores_t.shape[-1]):
-        # Pallas kernel: the (W, 128) one-hot lives in VMEM instead of
-        # round-tripping HBM, and the cost arithmetic fuses in (VERDICT r3
-        # weak #3: wire it or delete it — measured in-context on TPU,
-        # docs/PERFORMANCE.md r4).  Bit-exact vs the XLA one-hot path
-        # (single nonzero product per dot, f32 accumulate).
-        from ..ops import score_fuse
-        safe = jnp.clip(group_lane, 0, scores_t.shape[0] - 1)
-        table = scores_t[safe]                     # (G, P) row gather
-        cand_cost = score_fuse.fused_cand_cost(
-            table, pdf_g, weight.reshape(ng, w),
-            repeat_last(tok_cost, nxt.shape[1]).reshape(ng, w)
-        ).reshape(nxt.shape)
-    else:
-        ac = _score_groups(scores_t, pdf_g, group_lane)
-        ac = ac.reshape(nxt.shape)
-        cand_cost = tok_cost[:, None] + weight - ac
+    # A Pallas fused-scoring kernel lived here in r3/r4 (opt-in, could not
+    # activate on this toolchain); deleted in r5 — measured record in
+    # docs/PERFORMANCE.md "score_fuse disposition".
+    ac = _score_groups(scores_t, pdf_g, group_lane)
+    ac = ac.reshape(nxt.shape)
+    cand_cost = tok_cost[:, None] + weight - ac
 
     # Invalid lanes: suppress new candidates and carry existing tokens IN
     # PLACE — each carried token rides its own candidate slot (block 0,
