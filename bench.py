@@ -71,10 +71,20 @@ BENCH_WAV_DIR = os.path.join(CACHE, f"benchwavs-{WAV_TAG}")
 LAST_GOOD = os.path.join(CACHE, "last_bench.json")
 PROGRESS = os.path.join(CACHE, "bench_progress.jsonl")
 
-# K=20480 is the measured exact-parity capacity on this pack at the round-4
-# 32-wav subset (BASELINE.md parity ladder: K=16384 gave 31/32 — utt015
-# needs the extra headroom — and 20480 measures FASTER than 16384 too).
+# K=20480 is the STARTING capacity rung (the measured r4 sweet spot on this
+# pack); exact parity no longer depends on it: any chunk whose beam fills
+# escalates toward MAX_ACTIVE_CAP — the reference's own max-active constant
+# (30000, decoder.h:45; 30720 = its GROUP-rounded cover), so parity on an
+# unseen pack is a mechanism, not a tuned constant (VERDICT r4 next #1).
 MAX_ACTIVE = int(os.environ.get("PKTPU_BENCH_K", "20480"))
+MAX_ACTIVE_CAP = int(os.environ.get("PKTPU_BENCH_KCAP", "30720"))
+# The reference's real recordings (VERDICT r4 next #6): decoded through the
+# bench pack on BOTH systems, folded into a rung batch so real-speech burst
+# statistics (silence runs, plosives) hit the occupancy schedule.
+REAL_WAVS = [
+    "/root/reference/test/data/en-us-hello.wav",
+    "/root/reference/test/data/en-us-cat.wav",
+]
 WAV_POOL = 128           # wavs generated (rungs use prefixes of this list)
 SECONDS = 5.0
 # Reference decodes this many of the same wavs (VERDICT r3 next #7: widened
@@ -82,11 +92,12 @@ SECONDS = 5.0
 # subset costs one-time CPU minutes, not bench budget).
 REF_SUBSET = int(os.environ.get("PKTPU_BENCH_REF_SUBSET", "32"))
 SAMPLE_RATE = 16000
-# 780 s: the four rungs take ~520 s WARM on the seeding host (most of it
-# per-Recognizer tunnel load/warmup, not decode); 480 cut the seed-1 rung
-# 71 s short.  The watchdog still guarantees termination and each rung
-# emits a complete result line as it lands.
-BUDGET_S = float(os.environ.get("PKTPU_BENCH_BUDGET_S", "780"))
+# 960 s: the r4 four-rung ladder took ~520 s WARM (most of it
+# per-Recognizer tunnel load/warmup, not decode); r5 adds the realwav and
+# stream-latency rungs (~80 s warm together).  The watchdog still
+# guarantees termination and each rung emits a complete result line as it
+# lands, so an expiry only costs the tail rungs.
+BUDGET_S = float(os.environ.get("PKTPU_BENCH_BUDGET_S", "960"))
 
 # Env vars hashed verbatim into jax's persistent-compile-cache key
 # (jax/_src/cache_key.py:_hash_xla_flags).  The committed bench_cache/ only
@@ -165,19 +176,23 @@ def ensure_wavs():
     return paths
 
 
-def measure_reference(conf_path, wav_paths, seed: int = 0):
+def measure_reference(conf_path, wav_paths, seed: int = 0,
+                      cache_tag: str = None, subset_n: int = None):
     """Wall-time the reference binary on a subset; cache the result."""
     ref_path = ref_result_path(seed)
+    if cache_tag:
+        ref_path = ref_path.replace(".json", f"-{cache_tag}.json")
+    n = subset_n if subset_n is not None else REF_SUBSET
     if os.path.exists(ref_path):
         with open(ref_path) as fd:
             cached = json.load(fd)
-        if len(cached.get("hyps", {})) >= min(REF_SUBSET, len(wav_paths)):
+        if len(cached.get("hyps", {})) >= min(n, len(wav_paths)):
             return cached
     from pocketkaldi_tpu.tools.reference_build import build_reference
     binary = build_reference()
     if binary is None:
         return None
-    subset = wav_paths[:REF_SUBSET]
+    subset = wav_paths[:n]
     scp = os.path.join(CACHE, "bench_ref.scp")
     with open(scp, "w") as fd:
         fd.write("\n".join(subset) + "\n")
@@ -201,15 +216,17 @@ def measure_reference(conf_path, wav_paths, seed: int = 0):
             hyps[parts[0]] = parts[1]
             lls[parts[0]] = float(parts[2])
     decode_time = max(t_full - t_load, 1e-6)
+    from pocketkaldi_tpu.io import wav as wavio
+    audio_s = sum(len(wavio.read_16k_pcm(p)) / SAMPLE_RATE for p in subset)
     result = {
-        "audio_seconds": SECONDS * len(subset),
+        "audio_seconds": audio_s,
         "decode_seconds": decode_time,
-        "rate": SECONDS * len(subset) / decode_time,
+        "rate": audio_s / decode_time,
         "hyps": hyps,
         "lls": lls,
     }
     os.makedirs(CACHE, exist_ok=True)
-    with open(ref_result_path(seed), "w") as fd:
+    with open(ref_path, "w") as fd:
         json.dump(result, fd)
     return result
 
@@ -266,7 +283,8 @@ def emit(record):
         fd.write(json.dumps(record) + "\n")
         fd.flush()
         os.fsync(fd.fileno())
-    log(f"rung {record.get('rung')}: {record['value']} audio-s/s "
+    log(f"rung {record.get('rung')}: {record['value']} "
+        f"{record.get('unit', 'audio-s/s')} "
         f"parity={record.get('transcript_parity')}")
 
 
@@ -280,18 +298,29 @@ def run_rung(name, rec, waves, wav_paths, ref, runs, extra):
     utts = rec.process_batch(waves)          # warmup: compiles every program
     t_compile = time.perf_counter() - t0
     log(f"rung {name}: warmup (incl. compile) {t_compile:.1f}s")
-    # settle pass: a pooled decoder's learned schedule may introduce
-    # smaller pool rungs that compile fresh on the SECOND decode of a
-    # shape — keep that out of the timed loop
-    t0 = time.perf_counter()
-    utts = rec.process_batch(waves)
-    log(f"rung {name}: settle {time.perf_counter() - t0:.1f}s")
+    # Settle until QUIET: schedule/capacity learning may introduce fresh
+    # pool or cap rungs that compile on the second (or third) decode of a
+    # shape — keep every retry-triggered compile out of the timed loop.
+    # Bounded: retries strictly climb finite ladders, and 3 passes covered
+    # every observed case (VERDICT r4 weak #2 flagged warmup bleeding into
+    # the B=128 rung).
+    dec = getattr(rec, "decoder", None)
+    for attempt in range(3):
+        t0 = time.perf_counter()
+        utts = rec.process_batch(waves)
+        retries = sum(int(getattr(dec, f, 0) or 0) for f in
+                      ("last_pool_growths", "last_burst_retries",
+                       "last_cap_escalations"))
+        log(f"rung {name}: settle {time.perf_counter() - t0:.1f}s "
+            f"(retries={retries})")
+        if retries == 0:
+            break
 
     t0 = time.perf_counter()
     for _ in range(runs):
         utts = rec.process_batch(waves)
     elapsed = (time.perf_counter() - t0) / runs
-    audio_seconds = batch * SECONDS
+    audio_seconds = sum(np.shape(w)[-1] for w in waves) / SAMPLE_RATE
     rate = audio_seconds / elapsed
 
     exact = better = worse = 0
@@ -300,7 +329,8 @@ def run_rung(name, rec, waves, wav_paths, ref, runs, extra):
     if ref and ref["rate"] > 0:
         vs_baseline = rate / ref["rate"]
         exact, better, worse = parity_vs_reference(ref, wav_paths, utts)
-        parity = f"{exact + better}/{len(ref['hyps'])}"
+        denom = sum(1 for p in wav_paths[:len(utts)] if p in ref["hyps"])
+        parity = f"{exact + better}/{denom}"
 
     record = {
         "metric": "audio_seconds_per_second",
@@ -312,6 +342,13 @@ def run_rung(name, rec, waves, wav_paths, ref, runs, extra):
         "batch": batch,
         "utt_seconds": SECONDS,
         "batch_wall_s": round(elapsed, 3),
+        # Offline batch decode is batch-synchronous: every utterance's
+        # hypothesis lands when the batch completes, so per-utterance p50
+        # and p95 latency BOTH equal the batch wall (BASELINE.json's
+        # "decode p50 latency" metric; the streaming rung reports the
+        # per-chunk latency distribution).
+        "latency_p50_ms": round(elapsed * 1000, 1),
+        "latency_p95_ms": round(elapsed * 1000, 1),
         "warmup_s": round(t_compile, 1),
         "reference_rate": round(ref["rate"], 3) if ref else None,
         "transcript_parity": parity,
@@ -340,6 +377,89 @@ def cache_env_fingerprint():
         "xla_flags": os.environ.get("XLA_FLAGS", ""),
         "libtpu_init_args": os.environ.get("LIBTPU_INIT_ARGS", ""),
     }
+
+
+def run_latency_rung(rec, waves, chunk_frames: int = 64, passes: int = 3):
+    """Streaming per-chunk feed→hypothesis latency (B=32 lanes).
+
+    Each sample times ONE ``feed`` (the chunk's decode program; its eager
+    overflow-flag fetch synchronizes the wall clock with the device — the
+    axon backend's block_until_ready does not block, but a scalar fetch
+    orders behind the in-order queue) PLUS ``partial_hypotheses`` over all
+    lanes (best-so-far traceback fetched to the host) — i.e. audio in →
+    updated 1-best out, the latency a streaming caller experiences.
+    Reported as p50/p95 over passes×chunks samples.  Runs at MAX_ACTIVE
+    without capacity escalation (the streaming tier has no escalation;
+    latency, not exact parity, is this rung's metric).
+    """
+    import jax.numpy as jnp
+    from pocketkaldi_tpu.decoder.streaming_pooled import (
+        PooledStreamingDecoder)
+    from pocketkaldi_tpu.features.cmvn import apply_cmvn
+    from pocketkaldi_tpu.features.fbank import compute_fbank
+    from pocketkaldi_tpu.hparams import DecoderOptions
+
+    b = len(waves)
+    n = max(np.shape(w)[-1] for w in waves)
+    batch = np.zeros((b, n), np.float32)
+    for i, w in enumerate(waves):
+        batch[i, :np.shape(w)[-1]] = w
+    fb = rec.fbank_opts
+    feats = apply_cmvn(compute_fbank(jnp.asarray(batch), fb.num_frames(n),
+                                     fb), rec.cmvn_stats, rec.cmvn_opts)
+    nf = jnp.asarray([fb.num_frames(np.shape(w)[-1]) for w in waves],
+                     dtype=jnp.int32)
+    scores = np.asarray(rec.am.compute(
+        feats, acoustic_scale=rec.decoder_opts.acoustic_scale,
+        num_frames=nf))
+    t_frames = scores.shape[1]
+    n_chunks = t_frames // chunk_frames
+
+    opts = DecoderOptions(max_active=MAX_ACTIVE, expand_factor=8,
+                          chunk_frames=chunk_frames, pooled=True)
+    sd = PooledStreamingDecoder(rec.fst, rec.am.tid2pdf, opts, num_lanes=b)
+    lanes = list(range(b))
+    samples_feed, samples_total = [], []
+    for p in range(passes + 1):                 # pass 0 = warmup/compile
+        for i in lanes:
+            sd.attach(i, f"lat{p}-{i}")
+        for c in range(n_chunks):
+            sl = scores[:, c * chunk_frames:(c + 1) * chunk_frames]
+            valid = np.ones((b, chunk_frames), bool)
+            t0 = time.perf_counter()
+            sd.feed(sl, valid)
+            t1 = time.perf_counter()
+            sd.partial_hypotheses(lanes)
+            t2 = time.perf_counter()
+            if p > 0:
+                samples_feed.append((t1 - t0) * 1000)
+                samples_total.append((t2 - t0) * 1000)
+        sd.finish_batch(lanes)
+
+    chunk_audio_ms = chunk_frames * 10.0
+    record = {
+        "metric": "streaming_chunk_latency_p50",
+        "value": round(float(np.percentile(samples_total, 50)), 2),
+        "unit": "ms",
+        "rung": "stream-latency-b32",
+        "batch": b,
+        "chunk_frames": chunk_frames,
+        "chunk_audio_ms": chunk_audio_ms,
+        "chunk_latency_p50_ms":
+            round(float(np.percentile(samples_total, 50)), 2),
+        "chunk_latency_p95_ms":
+            round(float(np.percentile(samples_total, 95)), 2),
+        "feed_p50_ms": round(float(np.percentile(samples_feed, 50)), 2),
+        "feed_p95_ms": round(float(np.percentile(samples_feed, 95)), 2),
+        "samples": len(samples_total),
+        "max_active": MAX_ACTIVE,
+        "realtime_headroom":
+            round(chunk_audio_ms /
+                  max(float(np.percentile(samples_total, 95)), 1e-6), 2),
+        "transcript_parity": "n/a",
+    }
+    emit(record)
+    return record
 
 
 def worker():
@@ -374,8 +494,8 @@ def worker():
         return BUDGET_S - (time.monotonic() - t_start)
 
     pooled_opts = DecoderOptions(
-        max_active=MAX_ACTIVE, expand_factor=8, chunk_frames=64,
-        pooled=True)
+        max_active=MAX_ACTIVE, max_active_cap=MAX_ACTIVE_CAP,
+        expand_factor=8, chunk_frames=64, pooled=True)
 
     rec = Recognizer.load(conf_path)
 
@@ -387,35 +507,57 @@ def worker():
              extra={"max_active": 1024, "pooled": False,
                     "cache_env": env_fp})
 
-    # Rung B: the headline — pooled decoder at the exact-parity capacity.
+    # Rung B: the headline — pooled decoder, capacity escalating to the
+    # reference's own max-active cap.
     rec.set_decoder_opts(pooled_opts)
     run_rung("pooled-parity", rec, waves[:32], wav_paths, ref, runs=2,
-             extra={"max_active": MAX_ACTIVE, "pooled": True,
+             extra={"max_active": MAX_ACTIVE,
+                    "max_active_cap": MAX_ACTIVE_CAP, "pooled": True,
                     "cache_env": env_fp,
                     "pool_size": lambda: rec.decoder.last_pool_size,
                     "pool_growths":
                         lambda: rec.decoder.last_pool_growths,
                     "burst_retries":
-                        lambda: rec.decoder.last_burst_retries})
+                        lambda: rec.decoder.last_burst_retries,
+                    "cap_escalations":
+                        lambda: rec.decoder.last_cap_escalations})
 
-    # Rung C: batch scaling at B=128 — gated on REMAINING BUDGET, not on a
-    # warm-cache heuristic (VERDICT r3 next #3: the warmup_s<90 gate never
-    # fired anywhere; a cold compile can't hang the bench — the watchdog
-    # kills the worker group and keeps completed rungs).
-    if remaining() > 90:
-        rec2 = Recognizer.load(conf_path)
-        rec2.set_decoder_opts(pooled_opts)
-        run_rung("pooled-b128", rec2, waves, wav_paths, ref, runs=1,
-                 extra={"max_active": MAX_ACTIVE, "pooled": True,
-                        "cache_env": env_fp,
-                        "pool_size": lambda: rec2.decoder.last_pool_size,
-                        "pool_growths":
-                            lambda: rec2.decoder.last_pool_growths})
-    else:
-        log(f"skipping rung pooled-b128 ({remaining():.0f}s budget left)")
+    # Rung B2: the reference's REAL recordings folded into the parity
+    # batch (VERDICT r4 next #6) — same 32-lane shape as rung B, so every
+    # compiled program is reused; audio-seconds accounting uses true
+    # durations.  Reference hyps for the real wavs come from a separate
+    # cached run; the combined reference rate is duration-weighted.
+    real_ok = all(os.path.exists(p) for p in REAL_WAVS)
+    if real_ok and remaining() > 60:
+        real_waves = [wavio.read_16k_pcm(p) for p in REAL_WAVS]
+        ref_real = measure_reference(conf_path, REAL_WAVS, cache_tag="real",
+                                     subset_n=len(REAL_WAVS))
+        if ref and ref_real:
+            mixed_ref = {
+                "audio_seconds": ref["audio_seconds"] * 30 / 32 +
+                                 ref_real["audio_seconds"],
+                "decode_seconds": ref["decode_seconds"] * 30 / 32 +
+                                  ref_real["decode_seconds"],
+                "hyps": {**ref["hyps"], **ref_real["hyps"]},
+                "lls": {**ref["lls"], **ref_real["lls"]},
+            }
+            mixed_ref["rate"] = (mixed_ref["audio_seconds"] /
+                                 mixed_ref["decode_seconds"])
+        else:
+            mixed_ref = None
+        run_rung("pooled-realwav", rec, real_waves + waves[:30],
+                 REAL_WAVS + wav_paths[:30], mixed_ref, runs=1,
+                 extra={"max_active": MAX_ACTIVE,
+                        "max_active_cap": MAX_ACTIVE_CAP, "pooled": True,
+                        "real_wavs": len(REAL_WAVS),
+                        "cap_escalations":
+                            lambda: rec.decoder.last_cap_escalations})
+    elif not real_ok:
+        log("reference real wavs unavailable; skipping pooled-realwav")
 
-    # Rung D: second pack seed — parity generalization (VERDICT r3 next
-    # #7).  Fresh graph shapes → fresh compiles; cheapest last.
+    # Rung C: second pack seed — parity GENERALIZATION, the mechanism's
+    # proof (VERDICT r4 next #1: 32/32 here with zero hand-tuning is the
+    # done-criterion; r4 measured 27/32 at the tuned constant).
     if remaining() > 90:
         conf1 = ensure_model(seed=1)
         ref1 = measure_reference(conf1, wav_paths, seed=1)
@@ -423,12 +565,44 @@ def worker():
         rec3.set_decoder_opts(pooled_opts)
         run_rung("pooled-parity-seed1", rec3, waves[:32], wav_paths, ref1,
                  runs=1,
-                 extra={"max_active": MAX_ACTIVE, "pooled": True,
+                 extra={"max_active": MAX_ACTIVE,
+                        "max_active_cap": MAX_ACTIVE_CAP, "pooled": True,
                         "pack_seed": 1, "cache_env": env_fp,
-                        "pool_size": lambda: rec3.decoder.last_pool_size})
+                        "pool_size": lambda: rec3.decoder.last_pool_size,
+                        "cap_escalations":
+                            lambda: rec3.decoder.last_cap_escalations})
     else:
         log(f"skipping rung pooled-parity-seed1 "
             f"({remaining():.0f}s budget left)")
+
+    # Rung D: streaming feed→hypothesis latency at B=32 (VERDICT r4 next
+    # #5; BASELINE.json names decode p50 latency).
+    if remaining() > 90:
+        try:
+            run_latency_rung(rec, waves[:32])
+        except Exception as e:            # noqa: BLE001 — never sink the
+            log(f"stream-latency rung failed: {e!r}")   # completed rungs
+    else:
+        log(f"skipping stream-latency rung ({remaining():.0f}s left)")
+
+    # Rung E: batch scaling at B=128 — gated on REMAINING BUDGET, not on a
+    # warm-cache heuristic (VERDICT r3 next #3: the warmup_s<90 gate never
+    # fired anywhere; a cold compile can't hang the bench — the watchdog
+    # kills the worker group and keeps completed rungs).
+    if remaining() > 90:
+        rec2 = Recognizer.load(conf_path)
+        rec2.set_decoder_opts(pooled_opts)
+        run_rung("pooled-b128", rec2, waves, wav_paths, ref, runs=1,
+                 extra={"max_active": MAX_ACTIVE,
+                        "max_active_cap": MAX_ACTIVE_CAP, "pooled": True,
+                        "cache_env": env_fp,
+                        "pool_size": lambda: rec2.decoder.last_pool_size,
+                        "pool_growths":
+                            lambda: rec2.decoder.last_pool_growths,
+                        "cap_escalations":
+                            lambda: rec2.decoder.last_cap_escalations})
+    else:
+        log(f"skipping rung pooled-b128 ({remaining():.0f}s budget left)")
 
 
 # ---------------------------------------------------------------------------
@@ -487,7 +661,9 @@ def main():
                         pass
     if results:
         main_pack = [r for r in results
-                     if r.get("rung") != "pooled-parity-seed1"]
+                     if r.get("metric") == "audio_seconds_per_second"
+                     and r.get("rung") not in ("pooled-parity-seed1",
+                                               "pooled-realwav")]
         best = max(main_pack or results, key=_score)
         if expired:
             best["budget_expired"] = True
@@ -496,7 +672,16 @@ def main():
             if r.get("rung") == "pooled-parity-seed1":
                 best["seed1_parity"] = r.get("transcript_parity")
                 best["seed1_parity_exact"] = r.get("parity_exact")
+                best["seed1_ours_better"] = r.get("parity_ours_better")
                 best["seed1_value"] = r.get("value")
+                best["seed1_cap_escalations"] = r.get("cap_escalations")
+            elif r.get("rung") == "pooled-realwav":
+                best["realwav_parity"] = r.get("transcript_parity")
+                best["realwav_value"] = r.get("value")
+            elif r.get("rung") == "stream-latency-b32":
+                best["chunk_latency_p50_ms"] = r.get("chunk_latency_p50_ms")
+                best["chunk_latency_p95_ms"] = r.get("chunk_latency_p95_ms")
+                best["chunk_audio_ms"] = r.get("chunk_audio_ms")
         with open(LAST_GOOD, "w") as fd:
             json.dump(best, fd)
         print(json.dumps(best))

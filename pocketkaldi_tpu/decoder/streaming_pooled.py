@@ -66,6 +66,21 @@ def _sharded_best_final(pools: PoolBeam, g: GraphArrays, b_loc: int):
     return jax.vmap(fn)(pools)
 
 
+@partial(jax.jit, static_argnames=("b_loc",))
+def _sharded_best_cost(pools: PoolBeam, b_loc: int):
+    """Per-lane argmin of raw cost (no final weight) — the partial-result
+    head: mid-utterance the 1-best-so-far rarely sits on a final state."""
+    def one(p):
+        lanes = jnp.arange(b_loc, dtype=jnp.int32)
+        masked = jnp.where(p.lane[None, :] == lanes[:, None],
+                           p.cost[None, :], jnp.inf)
+        slot = jnp.argmin(masked, axis=-1)
+        best = jnp.take_along_axis(masked, slot[:, None], axis=1)[:, 0]
+        return jnp.where(jnp.isinf(best), -1, slot), best
+
+    return jax.vmap(one)(pools)
+
+
 @partial(jax.jit, static_argnames=("b_loc", "cap", "kp"))
 def _sharded_reset(pools: PoolBeam, reset_mask, init_state, init_cost,
                    b_loc: int, cap: int, kp: int):
@@ -399,6 +414,37 @@ class PooledStreamingDecoder:
         self.chunks_fed += 1
 
     # ------------------------------------------------------------------
+    def partial_hypotheses(self, lanes: Sequence[int]) -> List[Hypothesis]:
+        """1-best-SO-FAR per lane, without finalizing anything.
+
+        Non-destructive: lanes stay attached, records and epoch bridges
+        are untouched, and a later ``finish`` returns exactly what it
+        would have without the peek.  The head is the min-COST token
+        (``_sharded_best_cost``) rather than min cost+final — mid-
+        utterance the best path rarely sits on a final state, and the
+        reference has no streaming surface at all to defer to (SURVEY
+        §2.5).  ``weight``/``total_cost`` carry the raw path cost.  A
+        lane with no live token (just attached / all pruned) comes back
+        empty.  This is also the feed→hypothesis latency probe the bench
+        times (BASELINE.json's decode-latency metric)."""
+        self._flush_attaches()
+        for i in lanes:
+            if self.lanes[i].utt_id is None:
+                raise ValueError(f"lane {i} is idle")
+        slot, total = _sharded_best_cost(self.pools, self._b_loc)
+        slot_np = np.asarray(slot).reshape(-1)
+        total_np = np.asarray(total).reshape(-1)
+        words_of = self._walk(lanes, slot_np)
+        out = []
+        for i in lanes:
+            frames = self.lanes[i].frames_fed
+            if slot_np[i] < 0 or frames == 0:
+                out.append(Hypothesis([], 0.0, float("inf"), frames))
+            else:
+                out.append(Hypothesis(words_of[i], float(total_np[i]),
+                                      float(total_np[i]), frames))
+        return out
+
     def finish(self, lane: int) -> Hypothesis:
         return self.finish_batch([lane])[0]
 

