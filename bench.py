@@ -682,6 +682,20 @@ def main():
                 best["chunk_latency_p50_ms"] = r.get("chunk_latency_p50_ms")
                 best["chunk_latency_p95_ms"] = r.get("chunk_latency_p95_ms")
                 best["chunk_audio_ms"] = r.get("chunk_audio_ms")
+        # Scaling-efficiency stand-in (virtual-mesh controlled experiment,
+        # scripts/weak_scaling.py — re-run it to refresh; values are a
+        # committed measurement, not produced by this bench run).
+        ws_path = os.path.join(JAX_CACHE, "weak_scaling.json")
+        if os.path.exists(ws_path):
+            try:
+                with open(ws_path) as fd:
+                    ws = json.load(fd)
+                best["scaling_efficiency_min_pct"] = ws.get(
+                    "efficiency_min_pct")
+                best["scaling_zero_collectives"] = ws.get(
+                    "zero_collectives")
+            except (OSError, json.JSONDecodeError):
+                pass
         with open(LAST_GOOD, "w") as fd:
             json.dump(best, fd)
         print(json.dumps(best))
