@@ -66,6 +66,30 @@ def _sharded_best_final(pools: PoolBeam, g: GraphArrays, b_loc: int):
     return jax.vmap(fn)(pools)
 
 
+@partial(jax.jit, static_argnames=("new_kp",))
+def _sharded_shrink(pools: PoolBeam, new_kp: int):
+    """Drop every shard pool's dead tail to ``new_kp`` slots; ok False when
+    any live token extends past the cut (caller then skips the shrink)."""
+    ok = jnp.all(pools.lane[:, new_kp:] == LANE_DEAD)
+    return PoolBeam(pools.lane[:, :new_kp], pools.state[:, :new_kp],
+                    pools.cost[:, :new_kp]), ok
+
+
+@jax.jit
+def _sharded_kill(pools: PoolBeam, mask):
+    """Kill finished lanes' tokens IN PLACE (state -1 / cost +inf; the lane
+    id stays, which the layout invariant allows for dead in-run padding) so
+    they stop counting toward pool demand.  mask (H, B_loc) bool."""
+    from .pooled import _lane_table_lookup
+
+    def one(p, m):
+        dead = _lane_table_lookup(m.astype(jnp.float32), p.lane) > 0.5
+        return PoolBeam(p.lane, jnp.where(dead, -1, p.state),
+                        jnp.where(dead, jnp.inf, p.cost))
+
+    return jax.vmap(one)(pools, mask)
+
+
 @partial(jax.jit, static_argnames=("b_loc",))
 def _sharded_best_cost(pools: PoolBeam, b_loc: int):
     """Per-lane argmin of raw cost (no final weight) — the partial-result
@@ -286,6 +310,12 @@ class PooledStreamingDecoder:
         self._kp_cap = self._b_loc * _round_group(self.opts.max_active)
         self._kp = _round_group(pool_size) if pool_size else \
             min(_round_group(self._b_loc * 1024), self._kp_cap)
+        # burst decay: shrink back toward _kp0 once demand settles (see
+        # feed(); the r5 latency rung measured 26.5 s/chunk FOREVER after
+        # one synchronized 32-lane attach flood grew the pool to the
+        # provable cap — nothing ever shrank it)
+        self._kp0 = self._kp
+        self._decay_count = 0
 
         # static init closure (identical for every lane): computed once on
         # the host backend, trimmed to its live width
@@ -384,6 +414,18 @@ class PooledStreamingDecoder:
             raise AssertionError("pool overflow at the provable bound")
         self._kp = min(_round_group(self._kp * 4), self._kp_cap)
         self.last_pool_growths += 1
+        self._decay_count = 0
+
+    # consecutive quiet feeds before the pool shrinks back down
+    DECAY_QUIET = 3
+
+    def _decay_rung(self, demand: int) -> int:
+        """Smallest ×4 ladder rung with ≥2× headroom over ``demand`` (the
+        same rung set _grow walks, so compile count stays bounded)."""
+        target = self._kp0
+        while target < min(2 * demand, self._kp_cap):
+            target = min(_round_group(target * 4), self._kp_cap)
+        return target
         grow = lambda p: jax.vmap(lambda q: pad_pool(q, self._kp))(p)
         self.pools = self._put(grow(self.pools))
 
@@ -401,9 +443,13 @@ class PooledStreamingDecoder:
         vv = np.asarray(valid, bool)
         vd = self._put(jnp.asarray(vv.reshape(self._h, self._b_loc, c)))
         while True:
-            pools2, recs, ovs, _dems, _cnts = _sharded_chunk(
+            pools2, recs, ovs, dems, _cnts = _sharded_chunk(
                 self.pools, sc, vd, self.graph, self.opts)
-            if not bool(np.asarray(jnp.any(ovs))):
+            # one fetch: overflow flag + the chunk's max slot demand (the
+            # decay signal rides the sync the flag already pays for)
+            flags = np.asarray(jnp.stack([
+                jnp.any(ovs).astype(jnp.int32), jnp.max(dems)]))
+            if not bool(flags[0]):
                 break
             self._grow()
         self.pools = pools2
@@ -412,6 +458,25 @@ class PooledStreamingDecoder:
             if lane.utt_id is not None:
                 lane.frames_fed += int(vv[i].sum())
         self.chunks_fed += 1
+
+        # Burst decay: a synchronized attach flood grows the pool toward
+        # the provable cap, and without this every later chunk pays
+        # flood-sized sorts forever (measured 26.5 s/chunk at B=32 after a
+        # 32-lane synchronized start — r5 latency rung).  After DECAY_QUIET
+        # consecutive feeds whose demand fits a smaller rung with 2×
+        # headroom, shrink to that rung; the ok flag guarantees no live
+        # token is truncated (a failed shrink is skipped, never wrong).
+        target = self._decay_rung(int(flags[1]))
+        if target < self._kp:
+            self._decay_count += 1
+            if self._decay_count >= self.DECAY_QUIET:
+                shrunk, ok = _sharded_shrink(self.pools, target)
+                if bool(np.asarray(ok)):
+                    self.pools = self._put(shrunk)
+                    self._kp = target
+                self._decay_count = 0
+        else:
+            self._decay_count = 0
 
     # ------------------------------------------------------------------
     def partial_hypotheses(self, lanes: Sequence[int]) -> List[Hypothesis]:
@@ -474,6 +539,16 @@ class PooledStreamingDecoder:
                                  l.frames_fed)
             self.lanes[i] = _Lane(attach_chunk=self.chunks_fed)
             out.append(hyp)
+        # Kill the finished lanes' tokens: without this they are carried
+        # (frame_valid False) through every later chunk, permanently
+        # inflating pool demand — a finished-but-not-reattached lane held
+        # its full final beam forever.  In-place (state -1 / cost +inf,
+        # lane id kept), so the layout invariant and every recorded slot
+        # index stay valid; the traceback above has already read them.
+        mask = np.zeros((self._h, self._b_loc), bool)
+        for i in lanes:
+            mask[i // self._b_loc, i % self._b_loc] = True
+        self.pools = _sharded_kill(self.pools, self._put(jnp.asarray(mask)))
         self._prune()
         return out
 

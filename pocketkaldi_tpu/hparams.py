@@ -79,8 +79,10 @@ class DecoderOptions:
     # count stays below its rung was not rank-pruned at all), while quiet
     # frames keep paying only the small-capacity price.  The reference's
     # max-active is a hard 30000 (decoder.h:45) — setting
-    # ``max_active_cap=30720`` (its GROUP-rounded cover) makes exact parity
-    # a mechanism instead of a per-pack tuned constant (VERDICT r4 next #1).
+    # ``max_active_cap=32768`` (the smallest power of two covering it —
+    # also a fast sort-length family, docs/PERFORMANCE.md r5) makes exact
+    # parity a mechanism instead of a per-pack tuned constant (VERDICT r4
+    # next #1).
     # None = fixed-capacity semantics at ``max_active`` (the per-lane
     # decoder's contract, and what the pooled⇔per-lane equivalence tests
     # pin).

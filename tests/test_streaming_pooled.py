@@ -135,6 +135,60 @@ def test_partial_hypotheses_non_destructive(setup):
             assert b >= a
 
 
+def test_pool_decays_after_burst_and_finish_kills_tokens():
+    """r5 latency-rung findings, both halves:
+
+    1. finish_batch KILLS finished lanes' tokens — without that they are
+       carried through every later chunk and demand never falls;
+    2. after DECAY_QUIET quiet feeds the pool shrinks back to a
+       demand-covering rung (a synchronized attach flood otherwise grows
+       the pool toward the provable cap and it stays there forever —
+       measured 26.5 s/chunk at bench scale).
+
+    Correctness is pinned by finishing a lane attached AFTER the decay and
+    matching the offline pooled decode."""
+    from pocketkaldi_tpu.decoder import PooledViterbiDecoder
+
+    # 8 attached lanes cost ≥ 8·GROUP = 1024 slots (GROUP-rounding floors
+    # per-lane cost) vs 1 quiet lane's 128 — an 8x demand swing on the
+    # standard fixture graph, enough to force grow-then-decay from a
+    # 128-slot pool.
+    fst = _foldable(200)
+    rng = np.random.RandomState(201)
+    tid2pdf = rng.randint(0, P, size=21).astype(np.int32)
+    opts = DecoderOptions(max_active=64, expand_factor=8, chunk_frames=2,
+                          fold_eps=True, beam=1e9)
+    sd = PooledStreamingDecoder(fst, tid2pdf, opts, num_lanes=8,
+                                pool_size=128)
+    kp0 = sd.pool_size
+    for i in range(8):
+        sd.attach(i, f"u{i}")
+    for _ in range(2):                      # synchronized flood
+        sd.feed(rng.randn(8, 2, P).astype(np.float32) * 2.0,
+                np.ones((8, 2), bool))
+    grown = sd.pool_size
+    assert grown > kp0, "flood must grow the pool for this test to bite"
+    sd.finish_batch(list(range(8)))         # kills all 8 lanes' tokens
+
+    sd.attach(0, "again")
+    scores = (rng.randn(1 + sd.DECAY_QUIET, 2, P) * 2.0).astype(np.float32)
+    chunk = np.zeros((8, 2, P), np.float32)
+    valid = np.zeros((8, 2), bool)
+    for c in range(1 + sd.DECAY_QUIET):
+        chunk[0] = scores[c]
+        valid[0] = True
+        sd.feed(chunk, valid)
+    assert sd.pool_size < grown, \
+        f"pool never decayed: still {sd.pool_size} after quiet feeds"
+
+    got = sd.finish(0)
+    off = PooledViterbiDecoder(fst, tid2pdf, opts).decode(
+        scores.reshape(1, -1, P))[0]
+    assert got.words == off.words
+    if np.isfinite(off.total_cost):
+        assert got.total_cost == pytest.approx(off.total_cost, rel=1e-6)
+
+
 def test_pooled_rebalance_mid_stream(setup):
     """Cross-shard token moves + epoch bridges keep transcripts exact."""
     fst, tid2pdf, opts, mesh = setup
