@@ -38,6 +38,7 @@ closed over and replicated.
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 from typing import NamedTuple, Tuple
 
@@ -50,6 +51,17 @@ from ..hparams import DecoderOptions
 
 INT_MAX = np.iinfo(np.int32).max
 BLOCK = 8  # default arcs per block (see _choose_block for the adaptive pick)
+
+# Negative result (r5, scripts/probe_select_diet.py): a select_beam
+# fast-path operand diet — (cost, state, iota) through the n-sort, payloads
+# row-gathered for the 2K prefix, i.e. the pooled select's diet applied to
+# the per-lane path — measured SLOWER at every crest shape (B=32, k·10
+# candidates): 58.6 vs 53.6 ms/frame at k=20480, 112.8 vs 95.2 at 30720,
+# 119.8 vs 101.0 at 32768.  Batched (B, n) sorts move payload operands
+# cheaper than an m-row take_along_axis re-fetches them, matching the r1
+# finding that payload-riding beats gather-afterwards ~2x.  The variant
+# lives in git history (this comment's commit); do not re-try without new
+# evidence.
 
 
 def _choose_block(max_degree: int) -> int:

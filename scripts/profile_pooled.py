@@ -40,9 +40,10 @@ def main():
     waves = [wavio.read_16k_pcm(p) for p in wavs]
 
     rec = Recognizer.load(conf)
+    cap = int(os.environ.get("PKTPU_PROFILE_KCAP", "0"))
     rec.set_decoder_opts(DecoderOptions(
         max_active=k, expand_factor=8, chunk_frames=chunk, pooled=True,
-        pool_size=pool_size or None))
+        max_active_cap=cap or None, pool_size=pool_size or None))
     print(f"backend={jax.default_backend()} B={batch} K={k} "
           f"pool_size={pool_size or 'auto'}", file=sys.stderr)
 
