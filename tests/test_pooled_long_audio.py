@@ -113,10 +113,17 @@ def test_long_audio_pooled_decode_bounded_memory(graph):
     peak = {"bytes": 0}
     base_fn = chunk_scorer(t_total)
 
-    def watched_fn(lo, hi):
-        live = sum(int(np.prod(a.shape)) * a.dtype.itemsize
+    def live_bytes():
+        return sum(int(np.prod(a.shape)) * a.dtype.itemsize
                    for a in jax.live_arrays())
-        peak["bytes"] = max(peak["bytes"], live)
+
+    # Hermetic measurement: earlier tests in the same process may hold
+    # live device arrays (module-scoped graphs, cached decoders); charge
+    # this decode only for bytes ABOVE that pre-existing floor.
+    base_live = live_bytes()
+
+    def watched_fn(lo, hi):
+        peak["bytes"] = max(peak["bytes"], live_bytes() - base_live)
         return base_fn(lo, hi)
 
     hyp = dec.decode(watched_fn, num_frames=[t_total])[0]
