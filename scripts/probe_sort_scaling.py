@@ -49,12 +49,18 @@ GROUPS = tuple(int(g) for g in os.environ.get(
 REPS = int(os.environ.get("PKTPU_PROBE_REPS", "10"))
 
 
+def _sync(out):
+    # axon's block_until_ready does NOT block; a scalar fetch orders
+    # behind the in-order device queue (see bench.py run_latency_rung)
+    np.asarray(jax.tree_util.tree_leaves(out)[0].ravel()[0])
+
+
 def timed(fn, *args):
-    fn(*args)[0].block_until_ready()          # compile
+    _sync(fn(*args))                          # compile + sync
     t0 = time.perf_counter()
     for _ in range(REPS):
         out = fn(*args)
-    jax.tree_util.tree_map(lambda a: a.block_until_ready(), out)
+    _sync(out)
     return (time.perf_counter() - t0) / REPS * 1000
 
 
