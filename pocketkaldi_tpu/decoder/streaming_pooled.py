@@ -409,12 +409,21 @@ class PooledStreamingDecoder:
             attached=frozenset(lanes)))
 
     def _grow(self) -> None:
-        """Move to the next pool rung (×4, capped at the provable bound)."""
+        """Move to the next pool rung (×4, capped at the provable bound)
+        and pad the live pools to it.  The pad is load-bearing: the retry
+        loops re-run ``_sharded_chunk``/``_sharded_reset`` on
+        ``self.pools``, so growing only ``self._kp`` would climb the whole
+        ladder without the program ever seeing more slots and then hit the
+        bound assertion on a workload the cap provably admits (the r5
+        decay refactor orphaned this resize; caught by the bench's
+        steady-churn latency rung)."""
         if self._kp >= self._kp_cap:
             raise AssertionError("pool overflow at the provable bound")
         self._kp = min(_round_group(self._kp * 4), self._kp_cap)
         self.last_pool_growths += 1
         self._decay_count = 0
+        self.pools = self._put(
+            jax.vmap(lambda q: pad_pool(q, self._kp))(self.pools))
 
     # consecutive quiet feeds before the pool shrinks back down
     DECAY_QUIET = 3
@@ -426,8 +435,6 @@ class PooledStreamingDecoder:
         while target < min(2 * demand, self._kp_cap):
             target = min(_round_group(target * 4), self._kp_cap)
         return target
-        grow = lambda p: jax.vmap(lambda q: pad_pool(q, self._kp))(p)
-        self.pools = self._put(grow(self.pools))
 
     # ------------------------------------------------------------------
     def feed(self, scores: np.ndarray, valid: np.ndarray) -> None:

@@ -439,3 +439,53 @@ def test_sharded_steady_step_has_no_collectives(setup):
     assert any(op in reb for op in ("all-to-all", "collective-permute",
                                     "all-gather", "all-reduce")), \
         "rebalance compiled with no cross-shard movement at all"
+
+
+def test_pooled_stream_feed_growth_resizes_pool():
+    """Mid-stream (feed-time) pool growth must actually RESIZE the pool.
+
+    Regression: the r5 decay refactor left _grow() bumping only self._kp
+    while the orphaned pool pad sat dead behind a return — feed retries
+    then re-ran the chunk on the unchanged pool, climbed the whole ladder,
+    and died on the provable-bound assertion (caught by the bench's
+    steady-churn latency rung on the tail-flooding seed-0 pack).
+
+    Attach-path growth pads inside _sharded_reset, so this needs demand
+    that grows AFTER attach: a wide graph (beams widen toward max_active
+    over frames) behind a small attach-time closure.
+    """
+    from pocketkaldi_tpu.decoder import PooledViterbiDecoder
+
+    from pocketkaldi_tpu.tools.make_fixtures import make_bench_graph
+
+    rng = np.random.RandomState(301)
+    # make_bench_graph: eps chains depth 1 by construction -> always folds
+    fst = make_bench_graph(np.random.RandomState(302), 2000, 40, 12)
+    assert fst.eps_closure is not None
+    tid2pdf = np.random.RandomState(301).randint(0, P, size=41) \
+        .astype(np.int32)
+    opts = DecoderOptions(max_active=512, expand_factor=8, chunk_frames=4,
+                          fold_eps=True, beam=1e9)
+    utts = [(f"u{i}", (rng.randn(12, P) * 0.1).astype(np.float32))
+            for i in range(4)]
+    want = {uid: PooledViterbiDecoder(fst, tid2pdf, opts)
+            .decode(scores[None])[0] for uid, scores in utts}
+
+    sd = PooledStreamingDecoder(fst, tid2pdf, opts, num_lanes=4,
+                                pool_size=512)
+    for i, (uid, _) in enumerate(utts):
+        sd.attach(i, uid)
+    chunk = np.stack([s for _, s in utts])            # (4, 12, P)
+    growths_after_attach = None
+    for lo in range(0, 12, 4):
+        sd.feed(chunk[:, lo:lo + 4], np.ones((4, 4), bool))
+        if growths_after_attach is None:
+            # growth during the FIRST feed may include the attach flush;
+            # later feeds' growth is pure feed-path
+            growths_after_attach = sd.last_pool_growths
+    assert sd.last_pool_growths > 0, \
+        "this workload must overflow the 512-slot pool to bite"
+    for i, (uid, _) in enumerate(utts):
+        got = sd.finish(i)
+        assert got.words == want[uid].words, uid
+        assert np.isclose(got.total_cost, want[uid].total_cost), uid
